@@ -1,0 +1,129 @@
+"""Attention: XLA reference implementation + dispatch to the Pallas kernel.
+
+Replaces the reference's flash-attn 2.5.8 CUDA dependency
+(/root/reference/src/vlrlhf/utils/auto_load.py:49-56 allowlist and the
+per-model FlashAttention2 classes). Supports:
+
+  - GQA (n_kv_heads < n_heads, InternLM2-style repeat_kv —
+    models/InternLMXC2/modeling_internlm2.py:227-239)
+  - causal masking
+  - segment ids, so concatenated chosen/rejected DPO batches and packed
+    sequences share one kernel (tokens attend only within their segment)
+  - additive bias / explicit boolean masks (padding)
+
+Layouts: q (B, Sq, H, D); k, v (B, Skv, Hkv, D). Output (B, Sq, H, D).
+Softmax in float32 always.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free
+
+
+def make_attention_mask(
+    pad_mask_q: jax.Array,  # (B, Sq) 1 = real token
+    pad_mask_kv: jax.Array,  # (B, Skv)
+    causal: bool = True,
+    segment_ids_q: Optional[jax.Array] = None,  # (B, Sq) int
+    segment_ids_kv: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Boolean (B, 1, Sq, Skv) mask; True = attend."""
+    mask = pad_mask_q[:, :, None].astype(bool) & pad_mask_kv[:, None, :].astype(bool)
+    if causal:
+        sq, skv = pad_mask_q.shape[-1], pad_mask_kv.shape[-1]
+        # Align last query with last key (supports Sq < Skv decode steps).
+        qpos = jnp.arange(sq)[:, None] + (skv - sq)
+        kpos = jnp.arange(skv)[None, :]
+        mask = mask & (kpos <= qpos)
+    if segment_ids_q is not None and segment_ids_kv is not None:
+        mask = mask & (segment_ids_q[:, :, None] == segment_ids_kv[:, None, :])
+    return mask[:, None, :, :]
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d
+    )
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,  # (B, 1|H, Sq, Skv) bool
+    bias: Optional[jax.Array] = None,  # additive, same shape
+    scale: Optional[float] = None,
+    logits_soft_cap: Optional[float] = None,
+) -> jax.Array:
+    b, sq, h, d = q.shape
+    n_rep = h // k.shape[2]
+    k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
+    scale = d**-0.5 if scale is None else scale
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if logits_soft_cap is not None:
+        logits = logits_soft_cap * jnp.tanh(logits / logits_soft_cap)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    pad_mask_q: Optional[jax.Array] = None,
+    pad_mask_kv: Optional[jax.Array] = None,
+    segment_ids_q: Optional[jax.Array] = None,
+    segment_ids_kv: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
+) -> jax.Array:
+    """Unified attention entry point used by every model family."""
+    b, sq, _, _ = q.shape
+    skv = k.shape[1]
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and sq >= 128
+        and sq == skv  # training shapes; decode goes through generate/kv_cache
+    )
+    if use_pallas:
+        from vlrlhf_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q,
+            k,
+            v,
+            causal=causal,
+            pad_mask_q=pad_mask_q,
+            pad_mask_kv=pad_mask_kv,
+            segment_ids_q=segment_ids_q,
+            segment_ids_kv=segment_ids_kv,
+            scale=scale,
+        )
+    if pad_mask_q is None:
+        pad_mask_q = jnp.ones((b, sq), dtype=bool)
+    if pad_mask_kv is None:
+        pad_mask_kv = jnp.ones((b, skv), dtype=bool)
+    mask = make_attention_mask(
+        pad_mask_q, pad_mask_kv, causal, segment_ids_q, segment_ids_kv
+    )
+    return reference_attention(q, k, v, mask=mask, scale=scale)
