@@ -1,0 +1,122 @@
+"""Unified llama-family decoder: forward, KV-cache parity, LoRA invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlrlhf_tpu.lora.lora import LoraConfig, init_lora, merge_lora
+from vlrlhf_tpu.models.common import Ctx
+from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params, lm_forward
+
+TINY = LMConfig(
+    vocab_size=128,
+    hidden_size=32,
+    intermediate_size=64,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,  # exercise GQA
+    dtype=jnp.float32,
+    remat=False,
+)
+
+
+def _setup(cfg=TINY, seed=0):
+    params = init_lm_params(cfg, jax.random.PRNGKey(seed))
+    ids = jax.random.randint(jax.random.PRNGKey(seed + 1), (2, 16), 0, cfg.vocab_size)
+    return params, ids
+
+
+def test_forward_shapes_and_determinism():
+    params, ids = _setup()
+    logits, _ = lm_forward(TINY, params, input_ids=ids)
+    assert logits.shape == (2, 16, TINY.vocab_size)
+    logits2, _ = lm_forward(TINY, params, input_ids=ids)
+    np.testing.assert_array_equal(logits, logits2)
+
+
+def test_pad_mask_invariance():
+    """Padded tail must not change logits of valid prefix positions."""
+    params, ids = _setup()
+    pad = jnp.concatenate([jnp.ones((2, 12), bool), jnp.zeros((2, 4), bool)], 1)
+    full, _ = lm_forward(TINY, params, input_ids=ids, pad_mask=pad)
+    ids_garbage = ids.at[:, 12:].set(7)
+    alt, _ = lm_forward(TINY, params, input_ids=ids_garbage, pad_mask=pad)
+    np.testing.assert_allclose(full[:, :12], alt[:, :12], atol=1e-5, rtol=1e-5)
+
+
+def test_kv_cache_matches_full_forward():
+    """Prefill + per-token decode must equal one uncached forward."""
+    params, ids = _setup()
+    b, s = ids.shape
+    full, _ = lm_forward(TINY, params, input_ids=ids)
+
+    smax = 24
+    cache = {
+        "k": jnp.zeros((TINY.num_layers, b, smax, TINY.num_kv_heads, TINY.head_dim_)),
+        "v": jnp.zeros((TINY.num_layers, b, smax, TINY.num_kv_heads, TINY.head_dim_)),
+    }
+    prefill = 10
+    pos = jnp.broadcast_to(jnp.arange(prefill)[None], (b, prefill))
+    kv_mask = (jnp.arange(smax) < prefill)[None].repeat(b, 0)
+    logits_p, cache = lm_forward(
+        TINY, params, input_ids=ids[:, :prefill], positions=pos,
+        cache=cache, kv_mask=kv_mask,
+    )
+    np.testing.assert_allclose(logits_p, full[:, :prefill], atol=1e-4, rtol=1e-4)
+
+    for t in range(prefill, s):
+        pos_t = jnp.full((b, 1), t)
+        kv_mask = (jnp.arange(smax) <= t)[None].repeat(b, 0)
+        logits_t, cache = lm_forward(
+            TINY, params, input_ids=ids[:, t : t + 1], positions=pos_t,
+            cache=cache, kv_mask=kv_mask,
+        )
+        np.testing.assert_allclose(
+            logits_t[:, 0], full[:, t], atol=1e-4, rtol=1e-4, err_msg=f"t={t}"
+        )
+
+
+def test_lora_zero_init_is_identity_and_merge():
+    params, ids = _setup()
+    lcfg = LoraConfig(r=4, alpha=8.0, target_patterns=(r"attn/(wq|wk|wv|wo)", r"mlp/"))
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(2))
+    assert adapters, "no adapters matched"
+
+    base, _ = lm_forward(TINY, params, input_ids=ids)
+    adapted, _ = lm_forward(
+        TINY, params, input_ids=ids,
+        ctx=Ctx(adapters=adapters, lora_scale=lcfg.scale),
+    )
+    # b == 0 at init -> adapted forward identical to base (policy == ref at step 0)
+    np.testing.assert_allclose(base, adapted, atol=1e-6)
+
+    # Perturb b, check adapted != base, and merged params reproduce adapted.
+    adapters = jax.tree.map(lambda x: x + 0.01, adapters)
+    adapted, _ = lm_forward(
+        TINY, params, input_ids=ids,
+        ctx=Ctx(adapters=adapters, lora_scale=lcfg.scale),
+    )
+    assert not np.allclose(base, adapted)
+    merged = merge_lora(params, adapters, lcfg.scale)
+    merged_out, _ = lm_forward(TINY, merged, input_ids=ids)
+    np.testing.assert_allclose(adapted, merged_out, atol=1e-4, rtol=1e-4)
+
+
+def test_lora_grads_flow_only_to_adapters():
+    params, ids = _setup()
+    lcfg = LoraConfig(r=4, alpha=8.0, target_patterns=(r"attn/",))
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(3))
+
+    def loss(adapters):
+        logits, _ = lm_forward(
+            TINY, params, input_ids=ids,
+            ctx=Ctx(adapters=adapters, lora_scale=lcfg.scale),
+        )
+        return jnp.mean(logits**2)
+
+    grads = jax.grad(loss)(adapters)
+    norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
+    # a-grads nonzero (b init 0 means only b receives grad at first; check b)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    b_norms = [float(jnp.linalg.norm(g)) for kp, g in flat if "b" in str(kp[-1])]
+    assert any(n > 0 for n in b_norms), norms

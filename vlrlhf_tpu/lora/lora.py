@@ -1,0 +1,168 @@
+"""LoRA adapters as separate param pytrees (replaces peft).
+
+Design (SURVEY.md §7.1.4): adapters live in their OWN pytree mirroring the
+base-param tree structure — a leaf is a dict {"a": (in, r), "b": (r, out)}.
+The reference policy in DPO is the base model with adapters disabled (the
+reference relies on TRL's `null_ref_context` for this,
+/root/reference/src/vlrlhf/base/trainer.py:190-242); here adapter-off is just
+`adapters=None` on a second call inside the same jitted step, so the ref
+forward is guaranteed bit-identical to the frozen base.
+
+PLoRA (InternLM-XComposer2's partial LoRA, applied only at image positions —
+/root/reference/src/vlrlhf/models/InternLMXC2/build_mlp.py:158-203) is the
+`mask` argument of `lora_delta`: delta is zeroed where mask == 0.
+
+Named adapter sets (value adapter / reward adapter for PPO,
+/root/reference/src/vlrlhf/base/model.py:72-139) are simply separate adapter
+pytrees over the same base params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vlrlhf_tpu.core.partitioning import tree_paths
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 64
+    alpha: float = 16.0
+    dropout: float = 0.05
+    # Regex patterns over param paths selecting target linears ("auto" per
+    # model family resolves to its default_lora_targets before this is built).
+    target_patterns: tuple[str, ...] = ()
+    # PLoRA: apply delta only where the position mask is set.
+    masked: bool = False
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.r
+
+
+def match_lora_targets(
+    params: PyTree, patterns: Sequence[str]
+) -> list[str]:
+    """Paths of 'kernel' leaves whose path matches any target pattern."""
+    regs = [re.compile(p) for p in patterns]
+    out = []
+    for path, leaf in tree_paths(params):
+        if not path.endswith("/kernel"):
+            continue
+        if getattr(leaf, "ndim", 0) != 2 and "_scanned" not in path:
+            continue
+        if any(r.search(path) for r in regs):
+            out.append(path)
+    return out
+
+
+def _set_path(tree: dict, parts: list[str], value: Any) -> None:
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def init_lora(
+    params: PyTree,
+    config: LoraConfig,
+    rng: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> PyTree:
+    """Build the adapter pytree: for each matched kernel, {"a","b"}.
+
+    a ~ N(0, 1/r) (kaiming-ish), b = 0 so the adapted model starts identical
+    to the base — required for the DPO policy == ref at step 0 invariant.
+
+    Scanned kernels (leading layer axis) get per-layer adapters stacked on
+    the same leading axis.
+    """
+    targets = match_lora_targets(params, config.target_patterns)
+    flat = dict(tree_paths(params))
+    adapters: dict = {}
+    keys = jax.random.split(rng, max(len(targets), 1))
+    for key, path in zip(keys, sorted(targets)):
+        kernel = flat[path]
+        if "_scanned" in path and kernel.ndim == 3:
+            n_layers, d_in, d_out = kernel.shape
+            a = jax.random.normal(key, (n_layers, d_in, config.r), dtype) / (
+                config.r**0.5
+            )
+            b = jnp.zeros((n_layers, config.r, d_out), dtype)
+        else:
+            d_in, d_out = kernel.shape
+            a = jax.random.normal(key, (d_in, config.r), dtype) / config.r**0.5
+            b = jnp.zeros((config.r, d_out), dtype)
+        parts = path.split("/")[:-1]  # drop the trailing 'kernel'
+        _set_path(adapters, parts, {"a": a, "b": b})
+    return adapters
+
+
+def lora_delta(
+    x: jax.Array,
+    adapter: Optional[dict],
+    scale: float,
+    mask: Optional[jax.Array] = None,  # (..., seq) 1 = apply (PLoRA im_mask)
+    dropout_rng: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+) -> jax.Array | None:
+    """delta = dropout(x) @ a @ b * scale, optionally position-masked."""
+    if adapter is None:
+        return None
+    h = x
+    if dropout_rng is not None and dropout > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, x.shape)
+        h = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    a = adapter["a"].astype(x.dtype)
+    b = adapter["b"].astype(x.dtype)
+    delta = (h @ a) @ b * scale
+    if mask is not None:
+        delta = delta * mask[..., None].astype(delta.dtype)
+    return delta
+
+
+def merge_lora(params: PyTree, adapters: PyTree, scale: float) -> PyTree:
+    """Fold adapters into base kernels (the reference's merge_peft_model.py)."""
+    flat_adapters = {
+        path.rsplit("/", 1)[0]: None for path, _ in tree_paths(adapters)
+    }
+
+    def merge_one(path: str, kernel: jax.Array, node: dict) -> jax.Array:
+        a, b = node["a"], node["b"]
+        if kernel.ndim == 3:  # scanned
+            delta = jnp.einsum("lir,lro->lio", a, b) * scale
+        else:
+            delta = (a @ b) * scale
+        return (kernel.astype(jnp.float32) + delta.astype(jnp.float32)).astype(
+            kernel.dtype
+        )
+
+    # Walk the base tree; wherever adapters has {"a","b"} for module M, merge
+    # into M/kernel.
+    def walk(base: Any, adpt: Any, path: str) -> Any:
+        if isinstance(base, dict):
+            out = {}
+            for k, v in base.items():
+                sub = adpt.get(k) if isinstance(adpt, dict) else None
+                child_path = f"{path}/{k}" if path else k
+                if (
+                    k == "kernel"
+                    and isinstance(adpt, dict)
+                    and "a" in adpt
+                    and "b" in adpt
+                ):
+                    out[k] = merge_one(child_path, v, adpt)
+                else:
+                    out[k] = walk(v, sub if sub is not None else {}, child_path)
+            return out
+        return base
+
+    del flat_adapters
+    return walk(params, adapters, "")

@@ -1,0 +1,253 @@
+"""Unified llama-family decoder.
+
+ONE implementation, configured per family, replaces all four of the
+reference's vendored/wrapped decoder codebases:
+
+  - LLaMA/Vicuna   (LLaVA-1.5 / LLaVA-Next-Vicuna text towers)
+  - Mistral        (LLaVA-Next-Mistral; sliding window unused at seq<=4096)
+  - InternLM2      (InternLM-XComposer2; GQA via num_kv_heads —
+                    /root/reference/src/vlrlhf/models/InternLMXC2/modeling_internlm2.py:227-239)
+  - QWen           (Qwen-VL; fused c_attn splits to wq/wk/wv at port time,
+                    qkv_bias=True, MLP w2=gate/w1=up/c_proj=down —
+                    /root/reference/src/vlrlhf/models/QwenVL/modeling_qwen.py)
+
+TPU-first structure: params for all layers are stacked on a leading axis
+("layers_scanned") and the stack runs under one `lax.scan` with optional
+`jax.checkpoint` remat — one compiled layer body regardless of depth.
+Attention dispatches to the Pallas flash kernel on TPU (ops/flash_attention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vlrlhf_tpu.models.common import Ctx, embed, init_linear, linear
+from vlrlhf_tpu.ops.attention import multi_head_attention, reference_attention
+from vlrlhf_tpu.ops.norms import rms_norm
+from vlrlhf_tpu.ops.rope import RopeConfig, apply_rope, rope_frequencies
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int = 0  # 0 -> hidden_size // num_heads
+    rope_base: float = 10000.0
+    rope_scaling_type: str = "none"
+    rope_scaling_factor: float = 1.0
+    max_position_embeddings: int = 4096
+    rms_eps: float = 1e-6
+    qkv_bias: bool = False  # QWen / Qwen2 style
+    o_bias: bool = False
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+    remat: bool = True
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def rope(self) -> RopeConfig:
+        return RopeConfig(
+            head_dim=self.head_dim_,
+            base=self.rope_base,
+            scaling_type=self.rope_scaling_type,
+            scaling_factor=self.rope_scaling_factor,
+            max_position_embeddings=self.max_position_embeddings,
+        )
+
+
+def init_lm_params(cfg: LMConfig, key: jax.Array) -> PyTree:
+    """Random init (tests / from-scratch); real checkpoints come from
+    utils/hf_port.py."""
+    keys = jax.random.split(key, 8)
+    h, ff = cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    L = cfg.num_layers
+    dt = cfg.dtype
+
+    def stack(fn):
+        ps = [fn(jax.random.fold_in(keys[0], i)) for i in range(L)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "input_layernorm": {"weight": jnp.ones((h,), dt)},
+            "post_attention_layernorm": {"weight": jnp.ones((h,), dt)},
+            "attn": {
+                "wq": init_linear(ks[0], h, nh * hd, cfg.qkv_bias, dt),
+                "wk": init_linear(ks[1], h, nkv * hd, cfg.qkv_bias, dt),
+                "wv": init_linear(ks[2], h, nkv * hd, cfg.qkv_bias, dt),
+                "wo": init_linear(ks[3], nh * hd, h, cfg.o_bias, dt),
+            },
+            "mlp": {
+                "gate": init_linear(ks[4], h, ff, False, dt),
+                "up": init_linear(ks[5], h, ff, False, dt),
+                "down": init_linear(ks[6], ff, h, False, dt),
+            },
+        }
+
+    params = {
+        "embed_tokens": {
+            "embedding": (
+                jax.random.normal(keys[1], (cfg.vocab_size, h)) * 0.02
+            ).astype(dt)
+        },
+        "layers_scanned": stack(layer),
+        "norm": {"weight": jnp.ones((h,), dt)},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = init_linear(keys[2], h, cfg.vocab_size, False, dt)
+    return params
+
+
+def _attention_block(
+    cfg: LMConfig,
+    p: dict,
+    ctx: Ctx,
+    x: jax.Array,  # (B, S, H)
+    cos: jax.Array,
+    sin: jax.Array,
+    pad_mask: Optional[jax.Array],
+    segment_ids: Optional[jax.Array],
+    positions: jax.Array,
+    cache_kv: Optional[tuple[jax.Array, jax.Array]],
+    kv_mask: Optional[jax.Array],
+):
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    q = linear(p["wq"], x, ctx.sub("wq")).reshape(b, s, nh, hd)
+    k = linear(p["wk"], x, ctx.sub("wk")).reshape(b, s, nkv, hd)
+    v = linear(p["wv"], x, ctx.sub("wv")).reshape(b, s, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache_kv is not None:
+        # Decode/prefill-with-cache: write current k/v at `positions` slots,
+        # attend over the whole cache with slot-index causality.
+        ck, cv = cache_kv  # (B, Sc, nkv, hd)
+        batch_idx = jnp.arange(b)[:, None]
+        ck = ck.at[batch_idx, positions].set(k.astype(ck.dtype))
+        cv = cv.at[batch_idx, positions].set(v.astype(cv.dtype))
+        sc = ck.shape[1]
+        slots = jnp.arange(sc)[None, None, :]  # (1, 1, Sc)
+        attend = slots <= positions[:, :, None]  # causal by absolute position
+        if kv_mask is not None:
+            attend = attend & kv_mask[:, None, :].astype(bool)
+        if pad_mask is not None:
+            attend = attend & pad_mask[:, :, None].astype(bool)
+        out = reference_attention(q, ck, cv, mask=attend[:, None])
+        new_cache = (ck, cv)
+    else:
+        out = multi_head_attention(
+            q,
+            k,
+            v,
+            causal=True,
+            pad_mask_q=pad_mask,
+            pad_mask_kv=pad_mask,
+            segment_ids_q=segment_ids,
+            segment_ids_kv=segment_ids,
+            impl=ctx.attn_impl,
+        )
+        new_cache = None
+    out = out.reshape(b, s, nh * hd)
+    return linear(p["wo"], out, ctx.sub("wo")), new_cache
+
+
+def _mlp_block(p: dict, ctx: Ctx, x: jax.Array) -> jax.Array:
+    gate = linear(p["gate"], x, ctx.sub("gate"))
+    up = linear(p["up"], x, ctx.sub("up"))
+    return linear(p["down"], jax.nn.silu(gate) * up, ctx.sub("down"))
+
+
+def lm_forward(
+    cfg: LMConfig,
+    params: PyTree,
+    *,
+    input_ids: Optional[jax.Array] = None,  # (B, S)
+    inputs_embeds: Optional[jax.Array] = None,  # (B, S, H) — multimodal path
+    positions: Optional[jax.Array] = None,  # (B, S)
+    pad_mask: Optional[jax.Array] = None,  # (B, S)
+    segment_ids: Optional[jax.Array] = None,
+    ctx: Optional[Ctx] = None,
+    cache: Optional[dict] = None,  # {"k": (L,B,Sc,nkv,hd), "v": ...}
+    kv_mask: Optional[jax.Array] = None,  # (B, Sc)
+    return_logits: bool = True,
+    return_hidden: bool = False,
+):
+    """Returns (logits or hidden, new_cache)."""
+    ctx = ctx or Ctx()
+    if inputs_embeds is None:
+        inputs_embeds = embed(params["embed_tokens"], input_ids, cfg.dtype)
+    b, s, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    seq_len = cache["k"].shape[2] if cache is not None else s
+    cos, sin = rope_frequencies(cfg.rope, positions, seq_len=seq_len)
+
+    layer_ctx = ctx.sub("layers_scanned")
+
+    def body(carry, xs):
+        x = carry
+        lp, la, ck, cv = xs
+        lctx = dataclasses.replace(layer_ctx, adapters=la)
+        h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
+        attn_out, new_kv = _attention_block(
+            cfg,
+            lp["attn"],
+            lctx.sub("attn"),
+            h,
+            cos,
+            sin,
+            pad_mask,
+            segment_ids,
+            positions,
+            (ck, cv) if ck is not None else None,
+            kv_mask,
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_eps)
+        x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
+        if new_kv is None:
+            return x, (None, None)
+        return x, new_kv
+
+    if cfg.remat and cache is None:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    xs = (
+        params["layers_scanned"],
+        layer_ctx.adapters,
+        cache["k"] if cache is not None else None,
+        cache["v"] if cache is not None else None,
+    )
+    hidden, (new_k, new_v) = jax.lax.scan(body, inputs_embeds, xs)
+    hidden = rms_norm(hidden, params["norm"]["weight"], cfg.rms_eps)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": new_k, "v": new_v}
+
+    if not return_logits:
+        return hidden, new_cache
+    if cfg.tie_embeddings:
+        logits = hidden @ params["embed_tokens"]["embedding"].astype(
+            hidden.dtype
+        ).T
+    else:
+        logits = linear(params["lm_head"], hidden, ctx.sub("lm_head"))
+    if return_hidden:
+        return (logits, hidden), new_cache
+    return logits, new_cache

@@ -1,0 +1,191 @@
+"""Generic VLM assembly: vision tower + projector + LM + static-shape merge.
+
+The reference implements this five times over with per-model dynamic-shape
+merging (`LlavaForRL._merge_input_ids_with_image_features` and friends —
+/root/reference/src/vlrlhf/models/Llava/__init__.py:36-109 etc.). Here there
+is ONE assembly: the processor guarantees each image contributes exactly
+`num_image_tokens` placeholder tokens, the collator ships an
+`image_positions` map, and the device scatters projected features into the
+embedding sequence with static shapes (models/common.py).
+
+Model families customize: the vision tower config, the projector, whether
+LoRA deltas are image-position-gated (PLoRA), and the prompt format (data/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vlrlhf_tpu.models.common import (
+    Ctx,
+    embed,
+    image_position_mask,
+    init_linear,
+    linear,
+    merge_multimodal_embeddings,
+)
+from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params, lm_forward
+from vlrlhf_tpu.models.vision.vit import ViTConfig, init_vit_params, vit_forward
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectorConfig:
+    kind: str = "mlp2x_gelu"  # 'mlp2x_gelu' | 'linear'
+    in_dim: int = 1024
+    out_dim: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class VLMConfig:
+    lm: LMConfig
+    vision: ViTConfig
+    projector: ProjectorConfig
+    image_token_id: int
+    num_image_tokens: int  # placeholder tokens per image (static)
+    # PLoRA: gate LoRA deltas by image-position mask (InternLM-XC2).
+    plora: bool = False
+    family: str = "llava"
+
+
+def init_projector_params(cfg: ProjectorConfig, key: jax.Array, dtype) -> PyTree:
+    k1, k2 = jax.random.split(key)
+    if cfg.kind == "linear":
+        return {"fc1": init_linear(k1, cfg.in_dim, cfg.out_dim, True, dtype)}
+    return {
+        "fc1": init_linear(k1, cfg.in_dim, cfg.out_dim, True, dtype),
+        "fc2": init_linear(k2, cfg.out_dim, cfg.out_dim, True, dtype),
+    }
+
+
+def projector_forward(cfg: ProjectorConfig, p: PyTree, x: jax.Array) -> jax.Array:
+    x = linear(p["fc1"], x)
+    if cfg.kind == "mlp2x_gelu":
+        x = linear(p["fc2"], jax.nn.gelu(x))
+    return x
+
+
+def init_vlm_params(cfg: VLMConfig, key: jax.Array) -> PyTree:
+    kv, kp, kl = jax.random.split(key, 3)
+    return {
+        "vision": init_vit_params(cfg.vision, kv),
+        "projector": init_projector_params(cfg.projector, kp, cfg.lm.dtype),
+        "lm": init_lm_params(cfg.lm, kl),
+    }
+
+
+def encode_images(
+    cfg: VLMConfig,
+    params: PyTree,
+    pixel_values: jax.Array,  # (B*n_img, H, W, 3) normalized
+    ctx: Optional[Ctx] = None,
+) -> jax.Array:
+    """Run the tower + projector: (B*n_img, num_image_tokens, lm_hidden)."""
+    ctx = ctx or Ctx()
+    feats = vit_forward(cfg.vision, params["vision"], pixel_values, ctx.sub("vision"))
+    return projector_forward(cfg.projector, params["projector"], feats)
+
+
+def vlm_forward(
+    cfg: VLMConfig,
+    params: PyTree,
+    *,
+    input_ids: jax.Array,  # (B, S) — placeholders already expanded
+    pixel_values: Optional[jax.Array] = None,  # (B, n_img, H, W, 3)
+    image_positions: Optional[jax.Array] = None,  # (B, n_img*num_image_tokens)
+    pad_mask: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    ctx: Optional[Ctx] = None,
+    cache: Optional[dict] = None,
+    kv_mask: Optional[jax.Array] = None,
+    image_features: Optional[jax.Array] = None,  # precomputed (skip tower)
+    return_logits: bool = True,
+    return_hidden: bool = False,
+):
+    """Returns (logits, new_cache). Text-only batches: pixel_values=None."""
+    ctx = ctx or Ctx()
+    embeds = embed(params["lm"]["embed_tokens"], input_ids, cfg.lm.dtype)
+
+    if image_features is None and pixel_values is not None:
+        b, n_img = pixel_values.shape[:2]
+        flat = pixel_values.reshape(b * n_img, *pixel_values.shape[2:])
+        image_features = encode_images(cfg, params, flat, ctx)
+        image_features = image_features.reshape(
+            b, n_img * cfg.num_image_tokens, -1
+        )
+
+    if image_features is not None:
+        assert image_positions is not None
+        embeds = merge_multimodal_embeddings(
+            embeds, image_features, image_positions
+        )
+
+    if cfg.plora and image_positions is not None:
+        ctx = dataclasses.replace(
+            ctx,
+            lora_mask=image_position_mask(image_positions, input_ids.shape[1]),
+        )
+
+    return lm_forward(
+        cfg.lm,
+        params["lm"],
+        inputs_embeds=embeds,
+        positions=positions,
+        pad_mask=pad_mask,
+        segment_ids=segment_ids,
+        ctx=ctx.sub("lm"),
+        cache=cache,
+        kv_mask=kv_mask,
+        return_logits=return_logits,
+        return_hidden=return_hidden,
+    )
+
+
+# ─────────────────── reward / value heads ───────────────────
+
+
+def init_rm_head(hidden_size: int, dtype, key: Optional[jax.Array] = None) -> PyTree:
+    """Zero-init scalar head scoring the last real token — matches the
+    reference's VLRewardModel (/root/reference/src/vlrlhf/base/model.py:12-35,
+    zero-init per its `_init_weights`)."""
+    del key
+    return {"kernel": jnp.zeros((hidden_size, 1), dtype)}
+
+
+def reward_forward(
+    cfg: VLMConfig,
+    params: PyTree,  # includes "rm_head"
+    *,
+    pad_mask: jax.Array,
+    ctx: Optional[Ctx] = None,
+    **kwargs,
+) -> jax.Array:
+    """Scalar reward per sequence: linear head on the last non-pad hidden."""
+    (logits, hidden), _ = vlm_forward(
+        cfg,
+        params,
+        pad_mask=pad_mask,
+        ctx=ctx,
+        return_logits=True,
+        return_hidden=True,
+        **kwargs,
+    )
+    del logits
+    scores = hidden @ params["rm_head"]["kernel"].astype(hidden.dtype)  # (B,S,1)
+    last = jnp.sum(pad_mask.astype(jnp.int32), axis=1) - 1  # (B,)
+    return jnp.take_along_axis(scores[..., 0], last[:, None], axis=1)[:, 0]
+
+
+def init_value_head(hidden_size: int, dtype, key: jax.Array) -> PyTree:
+    """Value head for PPO (TRL's v_head equivalent, base/model.py:141-201)."""
+    return init_linear(key, hidden_size, 1, True, dtype, scale=0.0)
+
+
+def value_forward(hidden: jax.Array, v_head: PyTree) -> jax.Array:
+    return linear(v_head, hidden.astype(jnp.float32))[..., 0]  # (B, S)

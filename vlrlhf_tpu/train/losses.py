@@ -1,0 +1,133 @@
+"""Preference-learning loss family.
+
+Numerics match the reference trainer exactly (so per-step DPO loss parity
+within 1e-3 is achievable — BASELINE.json north star):
+  - batch_logps     == VLDPOTrainer.get_batch_logps
+                       (/root/reference/src/vlrlhf/base/trainer.py:148-188)
+  - dpo_loss family == VLDPOTrainer.dpo_loss (trainer.py:244-301):
+                       sigmoid (with label smoothing), hinge, ipo, kto_pair,
+                       ddpo (= sigmoid over diff-masked logps)
+  - sft_loss        == shifted CE over labeled tokens
+                       (models/Llava/__init__.py:246-257)
+  - rm_loss         == TRL RewardTrainer's -logsigmoid(r_c - r_r)
+
+DDPO's shared-token masking (difflib over token ids, trainer.py:169-184) is
+precomputed in the data pipeline (data/diffmask.py) and arrives as
+`loss_mask` — the reference recomputes it on CPU inside every training step,
+which we deliberately do not replicate.
+
+All logps are computed in float32 from bf16 logits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+LABEL_PAD = -100
+
+
+def batch_logps(
+    logits: jax.Array,  # (B, S, V)
+    labels: jax.Array,  # (B, S), LABEL_PAD on non-completion tokens
+    average_log_prob: bool = False,
+    loss_mask: Optional[jax.Array] = None,  # extra mask (DDPO diff mask)
+) -> jax.Array:
+    """Sum (or mean) log p(label) over labeled positions. (B,)"""
+    # Shift: logits at t predict labels at t+1.
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    mask = labels != LABEL_PAD
+    if loss_mask is not None:
+        mask = mask & loss_mask[:, 1:].astype(bool)
+    safe_labels = jnp.where(mask, labels, 0)
+    logps = jax.nn.log_softmax(logits, axis=-1)
+    per_token = jnp.take_along_axis(logps, safe_labels[..., None], axis=-1)[..., 0]
+    per_token = per_token * mask
+    if average_log_prob:
+        return per_token.sum(-1) / jnp.maximum(mask.sum(-1), 1)
+    return per_token.sum(-1)
+
+
+class DPOLossOutput(NamedTuple):
+    loss: jax.Array  # scalar
+    chosen_rewards: jax.Array  # (B,)
+    rejected_rewards: jax.Array  # (B,)
+
+
+def dpo_loss(
+    policy_chosen_logps: jax.Array,
+    policy_rejected_logps: jax.Array,
+    ref_chosen_logps: jax.Array,
+    ref_rejected_logps: jax.Array,
+    *,
+    beta: float = 0.1,
+    label_smoothing: float = 0.0,
+    loss_type: str = "sigmoid",  # sigmoid | ddpo | hinge | ipo | kto_pair
+    reference_free: bool = False,
+) -> DPOLossOutput:
+    pi_logratios = policy_chosen_logps - policy_rejected_logps
+    ref_logratios = (
+        jnp.zeros_like(pi_logratios)
+        if reference_free
+        else ref_chosen_logps - ref_rejected_logps
+    )
+    logits = pi_logratios - ref_logratios
+
+    if loss_type in ("sigmoid", "ddpo"):
+        losses = -jax.nn.log_sigmoid(beta * logits) * (
+            1 - label_smoothing
+        ) - jax.nn.log_sigmoid(-beta * logits) * label_smoothing
+    elif loss_type == "hinge":
+        losses = jax.nn.relu(1 - beta * logits)
+    elif loss_type == "ipo":
+        losses = (logits - 1 / (2 * beta)) ** 2
+    elif loss_type == "kto_pair":
+        chosen_kl = jnp.clip(
+            jnp.mean(policy_chosen_logps - ref_chosen_logps), 0, None
+        )
+        rejected_kl = jnp.clip(
+            jnp.mean(policy_rejected_logps - ref_rejected_logps), 0, None
+        )
+        chosen_lr = policy_chosen_logps - ref_chosen_logps
+        rejected_lr = policy_rejected_logps - ref_rejected_logps
+        losses = jnp.concatenate(
+            [
+                1 - jax.nn.sigmoid(beta * (chosen_lr - rejected_kl)),
+                1 - jax.nn.sigmoid(beta * (chosen_kl - rejected_lr)),
+            ]
+        )
+    else:
+        raise ValueError(f"Unknown loss type: {loss_type}")
+
+    chosen_rewards = beta * jax.lax.stop_gradient(
+        policy_chosen_logps - ref_chosen_logps
+    )
+    rejected_rewards = beta * jax.lax.stop_gradient(
+        policy_rejected_logps - ref_rejected_logps
+    )
+    return DPOLossOutput(jnp.mean(losses), chosen_rewards, rejected_rewards)
+
+
+def sft_loss(
+    logits: jax.Array,  # (B, S, V)
+    labels: jax.Array,  # (B, S)
+    pad_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean shifted CE over labeled tokens (token-mean, HF convention)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    mask = labels != LABEL_PAD
+    if pad_mask is not None:
+        mask = mask & pad_mask[:, 1:].astype(bool)
+    safe = jnp.where(mask, labels, 0)
+    logps = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logps, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def rm_loss(chosen_rewards: jax.Array, rejected_rewards: jax.Array) -> jax.Array:
+    """Bradley-Terry pairwise loss (TRL RewardTrainer default)."""
+    return -jnp.mean(jax.nn.log_sigmoid(chosen_rewards - rejected_rewards))
