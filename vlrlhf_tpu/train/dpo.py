@@ -1,0 +1,158 @@
+"""DPO training: one jitted step, adapter-toggled reference policy.
+
+Reference flow being replaced: VLDPOTrainer.get_batch_loss_metrics
+(/root/reference/src/vlrlhf/base/trainer.py:190-301) — policy concat forward,
+LoRA-disabled ref forward (TRL's null_ref_context), loss family, metrics.
+
+TPU-first differences (not a port):
+  - ONE jitted step: ref forward (adapters off), policy forward (adapters
+    on), loss, backward, optimizer — all fused by XLA; no per-step host sync,
+    no empty_cache/gc workaround (trainer.py:303-308).
+  - vision tower runs ONCE per pair per step when frozen: chosen/rejected
+    share the prompt's images, and ref/policy share the frozen tower, so the
+    reference's 4 tower passes per pair collapse to 1.
+  - DDPO diff masks arrive precomputed in the batch (data/diffmask.py), not
+    recomputed with difflib inside the step (trainer.py:169-184).
+
+Batch layout (built by data/collators.py): chosen rows stacked before
+rejected rows, exactly like the reference's concatenated_inputs
+(trainer.py:124-146).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vlrlhf_tpu.models.common import Ctx
+from vlrlhf_tpu.models.vlm import VLMConfig, encode_images, vlm_forward
+from vlrlhf_tpu.train.losses import batch_logps, dpo_loss
+from vlrlhf_tpu.train.train_state import TrainState, apply_updates
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DPOConfig:
+    beta: float = 0.1
+    label_smoothing: float = 0.0
+    loss_type: str = "sigmoid"  # sigmoid | ddpo | hinge | ipo | kto_pair
+    reference_free: bool = False
+    lora_scale: float = 0.25  # alpha/r
+    # vision tower frozen -> encode images once, reuse across chosen/rejected
+    # and policy/ref forwards.
+    frozen_vision: bool = True
+
+    @property
+    def average_log_prob(self) -> bool:
+        return self.loss_type == "ipo"
+
+
+def _forward_logps(
+    model_cfg: VLMConfig,
+    params: PyTree,
+    batch: dict,
+    ctx: Ctx,
+    dpo_cfg: DPOConfig,
+    image_features: Optional[jax.Array],
+):
+    logits, _ = vlm_forward(
+        model_cfg,
+        params,
+        input_ids=batch["input_ids"],
+        pixel_values=None if image_features is not None else batch.get("pixel_values"),
+        image_features=image_features,
+        image_positions=batch.get("image_positions"),
+        pad_mask=batch["pad_mask"],
+        ctx=ctx,
+    )
+    loss_mask = batch.get("loss_mask") if dpo_cfg.loss_type == "ddpo" else None
+    logps = batch_logps(
+        logits,
+        batch["labels"],
+        average_log_prob=dpo_cfg.average_log_prob,
+        loss_mask=loss_mask,
+    )
+    return logps, logits
+
+
+def dpo_step_fn(
+    model_cfg: VLMConfig,
+    dpo_cfg: DPOConfig,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    base_params: PyTree,
+    batch: dict,
+):
+    """One DPO update. state.trainable = LoRA adapter tree."""
+    n_pairs = batch["input_ids"].shape[0] // 2
+
+    # Shared image features (frozen tower): (B_pairs, N, D) -> tiled to 2B.
+    image_features = None
+    if dpo_cfg.frozen_vision and batch.get("pixel_values") is not None:
+        pv = batch["pixel_values"]  # (B_pairs, n_img, H, W, 3)
+        b, n_img = pv.shape[:2]
+        feats = encode_images(
+            model_cfg, base_params, pv.reshape(b * n_img, *pv.shape[2:])
+        )
+        feats = feats.reshape(b, n_img * model_cfg.num_image_tokens, -1)
+        image_features = jnp.concatenate([feats, feats], axis=0)
+        image_features = jax.lax.stop_gradient(image_features)
+
+    # Reference forward: adapters OFF == frozen base policy.
+    ref_logps, _ = _forward_logps(
+        model_cfg, base_params, batch, Ctx(), dpo_cfg, image_features
+    )
+    ref_logps = jax.lax.stop_gradient(ref_logps)
+    ref_chosen, ref_rejected = ref_logps[:n_pairs], ref_logps[n_pairs:]
+
+    def loss_fn(trainable):
+        ctx = Ctx(adapters=trainable, lora_scale=dpo_cfg.lora_scale)
+        logps, logits = _forward_logps(
+            model_cfg, base_params, batch, ctx, dpo_cfg, image_features
+        )
+        pc, pr = logps[:n_pairs], logps[n_pairs:]
+        out = dpo_loss(
+            pc,
+            pr,
+            ref_chosen,
+            ref_rejected,
+            beta=dpo_cfg.beta,
+            label_smoothing=dpo_cfg.label_smoothing,
+            loss_type=dpo_cfg.loss_type,
+            reference_free=dpo_cfg.reference_free,
+        )
+        metrics = {
+            "loss": out.loss,
+            "rewards/chosen": jnp.mean(out.chosen_rewards),
+            "rewards/rejected": jnp.mean(out.rejected_rewards),
+            "rewards/accuracies": jnp.mean(
+                (out.chosen_rewards > out.rejected_rewards).astype(jnp.float32)
+            ),
+            "rewards/margins": jnp.mean(out.chosen_rewards - out.rejected_rewards),
+            "logps/chosen": jnp.mean(pc),
+            "logps/rejected": jnp.mean(pr),
+            "logits/chosen": jnp.mean(logits[:n_pairs].astype(jnp.float32)),
+            "logits/rejected": jnp.mean(logits[n_pairs:].astype(jnp.float32)),
+        }
+        return out.loss, metrics
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.trainable
+    )
+    new_state = apply_updates(state, grads, tx)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def make_dpo_step(model_cfg: VLMConfig, dpo_cfg: DPOConfig, tx):
+    """Jitted step: (state, base_params, batch) -> (state, metrics)."""
+
+    def step(state, base_params, batch):
+        return dpo_step_fn(model_cfg, dpo_cfg, tx, state, base_params, batch)
+
+    return jax.jit(step, donate_argnums=(0,))
