@@ -1,0 +1,215 @@
+"""Collators: tokenized rows -> static-shape numpy device batches.
+
+Replaces the reference's torch pad_sequence collators
+(/root/reference/src/vlrlhf/base/collator.py) and the per-model PIL+CLIP
+image attachment (models/Llava/__init__.py:435-471). TPU-first differences:
+
+  - BUCKETED padding: batch length rounds up to a multiple of
+    `bucket_multiple`, so XLA compiles a handful of shapes instead of one per
+    batch (the reference pads to the exact batch max — a new CUDA graph per
+    length is fine on GPU, a recompile per length is not on TPU).
+  - image placeholders are expanded host-side and the position map shipped,
+    making the device merge static-shape (models/common.py).
+  - images ship as raw uint8 (host: decode + resize only); rescale/normalize
+    fuse into the tower on device.
+  - DPO batches are pre-concatenated [chosen; rejected] (the reference does
+    this on device every step, base/trainer.py:124-146).
+  - DDPO diff masks are precomputed here (data/diffmask.py), not per-step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+
+from vlrlhf_tpu.data.diffmask import diff_masks
+from vlrlhf_tpu.data.processor import LABEL_PAD, VLProcessor
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def default_image_loader(path: str, size: int, mode: str = "shortest_edge_crop"):
+    """Host-side decode + resize to (size, size, 3) uint8.
+
+    mode 'shortest_edge_crop' = CLIP-style resize+center-crop (HF processors
+    for Llava/LlavaNext/InstructBlip); 'squash' = plain resize (XC2/Qwen).
+    """
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if mode == "squash":
+        img = img.resize((size, size), Image.BICUBIC)
+    else:
+        w, h = img.size
+        scale = size / min(w, h)
+        img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+        w, h = img.size
+        left, top = (w - size) // 2, (h - size) // 2
+        img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.uint8)
+
+
+@dataclasses.dataclass
+class CollatorConfig:
+    pad_token_id: int = 0
+    bucket_multiple: int = 128
+    max_images: int = 1
+    image_size: int = 336
+    resize_mode: str = "shortest_edge_crop"
+    # DDPO: precompute diff masks.
+    compute_diff_mask: bool = False
+    diff_min_match_size: int = 3
+
+
+class _CollatorBase:
+    def __init__(
+        self,
+        processor: VLProcessor,
+        cfg: CollatorConfig,
+        image_loader: Optional[Callable] = None,
+    ):
+        self.processor = processor
+        self.cfg = cfg
+        self.image_loader = image_loader or default_image_loader
+
+    def _load_images(self, img_paths: Sequence) -> np.ndarray:
+        """(B, max_images, H, W, 3) uint8; missing slots zeroed."""
+        b = len(img_paths)
+        s = self.cfg.image_size
+        out = np.zeros((b, self.cfg.max_images, s, s, 3), np.uint8)
+        for i, paths in enumerate(img_paths):
+            if paths is None:
+                continue
+            if isinstance(paths, str):
+                paths = [paths]
+            for j, p in enumerate(paths[: self.cfg.max_images]):
+                out[i, j] = self.image_loader(p, s, self.cfg.resize_mode)
+        return out
+
+    def _pad_rows(
+        self,
+        rows: list[np.ndarray],
+        pad_value: int,
+        length: int,
+        dtype=np.int32,
+    ) -> np.ndarray:
+        out = np.full((len(rows), length), pad_value, dtype)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r[:length]
+        return out
+
+
+class DPOCollator(_CollatorBase):
+    """Rows from tokenize_row_dpo -> concatenated [chosen; rejected] batch."""
+
+    def __call__(self, rows: list[dict]) -> dict[str, Any]:
+        cfg = self.cfg
+        n_img_tok = self.processor.cfg.num_image_tokens
+        exp = self.processor.expand_image_tokens
+
+        chosen, rejected = [], []
+        for row in rows:
+            c_ids, c_lab, c_pos = exp(row["chosen_input_ids"], row["chosen_labels"])
+            r_ids, r_lab, r_pos = exp(
+                row["rejected_input_ids"], row["rejected_labels"]
+            )
+            chosen.append((c_ids, c_lab, c_pos))
+            rejected.append((r_ids, r_lab, r_pos))
+
+        max_len = max(len(x[0]) for x in chosen + rejected)
+        L = _round_up(max_len, cfg.bucket_multiple)
+        all_rows = chosen + rejected  # [chosen...; rejected...]
+        ids = self._pad_rows([x[0] for x in all_rows], cfg.pad_token_id, L)
+        labels = self._pad_rows(
+            [x[1] for x in all_rows], LABEL_PAD, L, np.int64
+        )
+        pad_mask = self._pad_rows(
+            [np.ones(len(x[0]), np.int32) for x in all_rows], 0, L
+        ).astype(bool)
+
+        n_pos = cfg.max_images * n_img_tok
+        img_pos = np.full((len(all_rows), n_pos), -1, np.int32)
+        for i, (_, _, pos) in enumerate(all_rows):
+            img_pos[i, : len(pos)] = pos
+
+        batch = {
+            "input_ids": ids,
+            "labels": labels,
+            "pad_mask": pad_mask,
+            "image_positions": img_pos,
+            "pixel_values": self._load_images([r.get("img_path") for r in rows]),
+        }
+        if cfg.compute_diff_mask:
+            n = len(rows)
+            masks = np.zeros((2 * n, L), bool)
+            for i in range(n):
+                cm, rm = diff_masks(
+                    labels[i], labels[n + i], LABEL_PAD, cfg.diff_min_match_size
+                )
+                masks[i], masks[n + i] = cm, rm
+            batch["loss_mask"] = masks
+        return batch
+
+
+class SFTCollator(_CollatorBase):
+    def __call__(self, rows: list[dict]) -> dict[str, Any]:
+        cfg = self.cfg
+        expanded = [
+            self.processor.expand_image_tokens(r["input_ids"], r["labels"])
+            for r in rows
+        ]
+        L = _round_up(max(len(x[0]) for x in expanded), cfg.bucket_multiple)
+        ids = self._pad_rows([x[0] for x in expanded], cfg.pad_token_id, L)
+        labels = self._pad_rows([x[1] for x in expanded], LABEL_PAD, L, np.int64)
+        pad_mask = self._pad_rows(
+            [np.ones(len(x[0]), np.int32) for x in expanded], 0, L
+        ).astype(bool)
+        n_pos = cfg.max_images * self.processor.cfg.num_image_tokens
+        img_pos = np.full((len(rows), n_pos), -1, np.int32)
+        for i, (_, _, pos) in enumerate(expanded):
+            img_pos[i, : len(pos)] = pos
+        return {
+            "input_ids": ids,
+            "labels": labels,
+            "pad_mask": pad_mask,
+            "image_positions": img_pos,
+            "pixel_values": self._load_images([r.get("img_path") for r in rows]),
+        }
+
+
+class RMCollator(DPOCollator):
+    """Reward-model batches share the DPO [chosen; rejected] layout; labels
+    are unused by the RM loss but kept for parity checks."""
+
+
+class GenerationCollator(_CollatorBase):
+    """Left-padded prompt batches for generation (PPO rollouts, eval)."""
+
+    def __call__(self, rows: list[dict]) -> dict[str, Any]:
+        cfg = self.cfg
+        expanded = [
+            self.processor.expand_image_tokens(r["input_ids"], None)
+            for r in rows
+        ]
+        L = _round_up(max(len(x[0]) for x in expanded), cfg.bucket_multiple)
+        b = len(rows)
+        ids = np.full((b, L), cfg.pad_token_id, np.int32)
+        pad_mask = np.zeros((b, L), bool)
+        n_pos = cfg.max_images * self.processor.cfg.num_image_tokens
+        img_pos = np.full((b, n_pos), -1, np.int32)
+        for i, (row_ids, _, pos) in enumerate(expanded):
+            n = len(row_ids)
+            ids[i, L - n :] = row_ids  # left padding
+            pad_mask[i, L - n :] = True
+            img_pos[i, : len(pos)] = pos + (L - n)
+        return {
+            "input_ids": ids,
+            "pad_mask": pad_mask,
+            "image_positions": img_pos,
+            "pixel_values": self._load_images([r.get("img_path") for r in rows]),
+            "prompt_lens": np.asarray([len(x[0]) for x in expanded], np.int32),
+        }

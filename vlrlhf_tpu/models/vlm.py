@@ -51,6 +51,10 @@ class VLMConfig:
     # PLoRA: gate LoRA deltas by image-position mask (InternLM-XC2).
     plora: bool = False
     family: str = "llava"
+    # Device-side normalization constants (collators ship raw uint8 pixels;
+    # rescale+normalize fuses into the tower's first conv on device).
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
 
 def init_projector_params(cfg: ProjectorConfig, key: jax.Array, dtype) -> PyTree:
@@ -87,6 +91,11 @@ def encode_images(
 ) -> jax.Array:
     """Run the tower + projector: (B*n_img, num_image_tokens, lm_hidden)."""
     ctx = ctx or Ctx()
+    if pixel_values.dtype == jnp.uint8:
+        x = pixel_values.astype(jnp.float32) / 255.0
+        mean = jnp.asarray(cfg.image_mean, jnp.float32)
+        std = jnp.asarray(cfg.image_std, jnp.float32)
+        pixel_values = ((x - mean) / std).astype(cfg.lm.dtype)
     feats = vit_forward(cfg.vision, params["vision"], pixel_values, ctx.sub("vision"))
     return projector_forward(cfg.projector, params["projector"], feats)
 
