@@ -187,7 +187,12 @@ class RMCollator(DPOCollator):
 
 
 class GenerationCollator(_CollatorBase):
-    """Left-padded prompt batches for generation (PPO rollouts, eval)."""
+    """RIGHT-padded prompt batches for generation (PPO rollouts, eval).
+
+    Right padding (not HF's left padding) because the engine's KV-cache slot
+    index equals the absolute token position (generate/engine.py) — each row
+    decodes from its own prompt_len slot, so left-aligning prompts costs
+    nothing and keeps RoPE positions trivially correct."""
 
     def __call__(self, rows: list[dict]) -> dict[str, Any]:
         cfg = self.cfg
@@ -203,9 +208,9 @@ class GenerationCollator(_CollatorBase):
         img_pos = np.full((b, n_pos), -1, np.int32)
         for i, (row_ids, _, pos) in enumerate(expanded):
             n = len(row_ids)
-            ids[i, L - n :] = row_ids  # left padding
-            pad_mask[i, L - n :] = True
-            img_pos[i, : len(pos)] = pos + (L - n)
+            ids[i, :n] = row_ids
+            pad_mask[i, :n] = True
+            img_pos[i, : len(pos)] = pos
         return {
             "input_ids": ids,
             "pad_mask": pad_mask,

@@ -1,0 +1,225 @@
+"""Bucketed prefill + decode generation engine.
+
+Replaces HF `model.generate` under accelerate and the sglang TP server in the
+reference's eval fast path (/root/reference/src/vlrlhf/eval/utils.py:51-173)
+and TRL PPO's rollout generation (base/trainer.py:437-443).
+
+TPU-first design:
+  - ONE jitted program per (prompt-bucket, max_new_tokens) pair: prefill over
+    the right-padded prompt chunk writes the KV cache; a `lax.while_loop`
+    decodes with early exit when every row has hit a stop token.
+  - Right padding everywhere: KV slot index == absolute position, so per-row
+    cache writes are a gather-free dynamic update (models/lm/llama.py cache
+    path); no left-pad position arithmetic.
+  - Multimodal prefill reuses the same static-shape image merge as training.
+  - Sharding: params follow their training shardings; batch rows shard over
+    (data, fsdp) — generation is data-parallel; TP via the `model` axis on
+    the same jitted fn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vlrlhf_tpu.models.common import Ctx, embed
+from vlrlhf_tpu.models.lm.llama import lm_forward
+from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
+from vlrlhf_tpu.ops.sampling import sample_tokens
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int = 128
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    eos_token_ids: tuple[int, ...] = ()
+    pad_token_id: int = 0
+
+
+def _generate_impl(
+    model_cfg: VLMConfig,
+    gen_cfg: GenerateConfig,
+    cache_len: int,
+    params: PyTree,
+    input_ids: jax.Array,  # (B, L) right-padded prompts
+    pad_mask: jax.Array,  # (B, L)
+    prompt_lens: jax.Array,  # (B,)
+    pixel_values: Optional[jax.Array],
+    image_positions: Optional[jax.Array],
+    rng: jax.Array,
+    adapters: Optional[PyTree],
+    lora_scale: float,
+):
+    b, l = input_ids.shape
+    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    lm = model_cfg.lm
+    nkv, hd = lm.num_kv_heads, lm.head_dim_
+    cache = {
+        "k": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), lm.dtype),
+        "v": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), lm.dtype),
+    }
+    positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
+    kv_mask = jnp.arange(cache_len)[None, :] < prompt_lens[:, None]
+
+    logits, cache = vlm_forward(
+        model_cfg,
+        params,
+        input_ids=input_ids,
+        pixel_values=pixel_values,
+        image_positions=image_positions,
+        pad_mask=pad_mask,
+        positions=positions,
+        ctx=ctx,
+        cache=cache,
+        kv_mask=kv_mask,
+    )
+    last_logits = jnp.take_along_axis(
+        logits, (prompt_lens - 1)[:, None, None], axis=1
+    )[:, 0]
+    rng, krng = jax.random.split(rng)
+    first_token = sample_tokens(
+        last_logits,
+        krng,
+        temperature=gen_cfg.temperature,
+        top_k=gen_cfg.top_k,
+        top_p=gen_cfg.top_p,
+        do_sample=gen_cfg.do_sample,
+    )
+    eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
+    done0 = jnp.any(first_token[:, None] == eos[None, :], axis=1)
+
+    # Write the first generated token into the output, then loop.
+    out0 = jnp.full((b, gen_cfg.max_new_tokens), gen_cfg.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(jnp.where(done0, gen_cfg.pad_token_id, first_token))
+    # For rows already done, keep tokens padded.
+    if gen_cfg.max_new_tokens > 1:
+        tokens, _ = _decode_rest(
+            model_cfg, gen_cfg, params, ctx, cache, prompt_lens, first_token,
+            done0, rng, out0,
+        )
+    else:
+        tokens = out0
+    return tokens
+
+
+def _decode_rest(
+    model_cfg, gen_cfg, params, ctx, cache, prompt_lens, first_token, done0,
+    rng, out0,
+):
+    b = prompt_lens.shape[0]
+    smax = cache["k"].shape[2]
+    n_new = gen_cfg.max_new_tokens
+    eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
+
+    def cond(carry):
+        step, _, _, _, done, _, _ = carry
+        return (step < n_new) & ~jnp.all(done)
+
+    def body(carry):
+        step, cache, lengths, last_token, done, rng, out = carry
+        positions = lengths[:, None]
+        kv_mask = jnp.arange(smax)[None, :] <= lengths[:, None]
+        logits, cache = lm_forward(
+            model_cfg.lm,
+            params["lm"],
+            input_ids=last_token[:, None],
+            positions=positions,
+            cache=cache,
+            kv_mask=kv_mask,
+            ctx=ctx.sub("lm"),
+        )
+        rng, krng = jax.random.split(rng)
+        next_token = sample_tokens(
+            logits[:, 0],
+            krng,
+            temperature=gen_cfg.temperature,
+            top_k=gen_cfg.top_k,
+            top_p=gen_cfg.top_p,
+            do_sample=gen_cfg.do_sample,
+        )
+        next_token = jnp.where(done, gen_cfg.pad_token_id, next_token)
+        out = out.at[:, step].set(next_token)
+        new_done = done | jnp.any(next_token[:, None] == eos[None, :], axis=1)
+        lengths = jnp.where(done, lengths, lengths + 1)
+        return (step + 1, cache, lengths, next_token, new_done, rng, out)
+
+    # step starts at 1: slot prompt_lens holds the first generated token.
+    carry = (1, cache, prompt_lens, first_token, done0, rng, out0)
+    step, cache, lengths, last_token, done, rng, out = jax.lax.while_loop(
+        cond, body, carry
+    )
+    return out, step
+
+
+class Generator:
+    """Caches one compiled program per (bucket_len, model) shape."""
+
+    def __init__(
+        self,
+        model_cfg: VLMConfig,
+        gen_cfg: GenerateConfig,
+        adapters: Optional[PyTree] = None,
+        lora_scale: float = 1.0,
+    ):
+        self.model_cfg = model_cfg
+        self.gen_cfg = gen_cfg
+        self.adapters = adapters
+        self.lora_scale = lora_scale
+        self._compiled: dict[int, Any] = {}
+
+    def _fn(self, cache_len: int):
+        if cache_len not in self._compiled:
+            self._compiled[cache_len] = jax.jit(
+                functools.partial(
+                    _generate_impl, self.model_cfg, self.gen_cfg, cache_len
+                )
+            )
+        return self._compiled[cache_len]
+
+    def __call__(
+        self,
+        params: PyTree,
+        batch: dict,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """batch from GenerationCollator (right-padded). Returns (B, N) ids."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        l = batch["input_ids"].shape[1]
+        cache_len = l + self.gen_cfg.max_new_tokens
+        fn = self._fn(cache_len)
+        return fn(
+            params,
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["pad_mask"]),
+            jnp.asarray(batch["prompt_lens"]),
+            None
+            if batch.get("pixel_values") is None
+            else jnp.asarray(batch["pixel_values"]),
+            None
+            if batch.get("image_positions") is None
+            else jnp.asarray(batch["image_positions"]),
+            rng,
+            self.adapters,
+            self.lora_scale,
+        )
+
+
+def generate(
+    model_cfg: VLMConfig,
+    params: PyTree,
+    batch: dict,
+    gen_cfg: GenerateConfig,
+    rng: Optional[jax.Array] = None,
+    adapters: Optional[PyTree] = None,
+    lora_scale: float = 1.0,
+) -> jax.Array:
+    return Generator(model_cfg, gen_cfg, adapters, lora_scale)(params, batch, rng)

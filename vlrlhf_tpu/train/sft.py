@@ -1,0 +1,71 @@
+"""SFT training step (replaces VLSFTTrainer, base/trainer.py:573-674).
+
+Causal-LM loss over assistant tokens only; supports LoRA-adapter training
+(trainable = adapters) or full fine-tuning with freeze masks (trainable =
+params, vision frozen via the optimizer mask in train_state.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vlrlhf_tpu.models.common import Ctx
+from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
+from vlrlhf_tpu.train.losses import sft_loss
+from vlrlhf_tpu.train.train_state import TrainState, apply_updates
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class SFTConfig:
+    lora_scale: float = 0.25
+    mode: str = "adapter"  # 'adapter' | 'full'
+
+
+def sft_step_fn(
+    model_cfg: VLMConfig,
+    sft_cfg: SFTConfig,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    base_params: Optional[PyTree],
+    batch: dict,
+):
+    def loss_fn(trainable):
+        if sft_cfg.mode == "adapter":
+            params = base_params
+            ctx = Ctx(adapters=trainable, lora_scale=sft_cfg.lora_scale)
+        else:
+            params = trainable
+            ctx = Ctx()
+        logits, _ = vlm_forward(
+            model_cfg,
+            params,
+            input_ids=batch["input_ids"],
+            pixel_values=batch.get("pixel_values"),
+            image_positions=batch.get("image_positions"),
+            pad_mask=batch["pad_mask"],
+            ctx=ctx,
+        )
+        loss = sft_loss(logits, batch["labels"], batch["pad_mask"])
+        return loss, {"loss": loss}
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.trainable
+    )
+    new_state = apply_updates(state, grads, tx)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    metrics["ppl"] = jnp.exp(metrics["loss"])
+    return new_state, metrics
+
+
+def make_sft_step(model_cfg: VLMConfig, sft_cfg: SFTConfig, tx):
+    def step(state, base_params, batch):
+        return sft_step_fn(model_cfg, sft_cfg, tx, state, base_params, batch)
+
+    return jax.jit(step, donate_argnums=(0,))
