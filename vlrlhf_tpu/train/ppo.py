@@ -1,0 +1,305 @@
+"""PPO training (replaces VLPPOTrainer + TRL PPOTrainer,
+/root/reference/src/vlrlhf/base/trainer.py:363-499, base/model.py:72-201).
+
+Flow per outer step (reference §3.4 call stack):
+  1. rollout: the generation engine samples responses with policy adapters ON
+  2. score: reward = trained RM (train/rm.py rm_scores) on query+response
+  3. stats (one jitted fn): policy logprobs + values, adapter-OFF ref
+     logprobs, per-token KL penalty rewards, GAE advantages/returns
+  4. update (one jitted fn, scanned ppo_epochs x minibatches): clipped PG
+     loss + clipped value loss, exactly TRL's objective
+  5. adaptive KL controller on host (TRL's AdaptiveKLController)
+
+The value head lives on the policy trunk (trainable = {"adapters", "v_head"});
+a separate LoRA value-adapter set is supported by passing distinct adapter
+trees, mirroring the reference's use_value_adapter
+(/root/reference/src/vlrlhf/ppo.py:151-170).
+
+Right-padded layout throughout: prompt tokens then response tokens, so GAE's
+reversed scan passes zeros through the padded tail with no special casing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vlrlhf_tpu.models.common import Ctx
+from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
+from vlrlhf_tpu.train.train_state import TrainState, apply_updates
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    lora_scale: float = 0.25
+    init_kl_coef: float = 0.2
+    target_kl: float = 6.0
+    kl_horizon: int = 10000
+    adaptive_kl: bool = True
+    gamma: float = 1.0
+    lam: float = 0.95
+    cliprange: float = 0.2
+    cliprange_value: float = 0.2
+    vf_coef: float = 0.1
+    ppo_epochs: int = 4
+    minibatch_size: int = 0  # 0 = full batch
+    whiten_advantages: bool = True
+    score_clip: Optional[float] = None
+
+
+def masked_mean(x, mask, axis=None):
+    return jnp.sum(x * mask, axis=axis) / jnp.maximum(jnp.sum(mask, axis=axis), 1)
+
+
+def masked_whiten(x, mask):
+    """TRL's masked_whiten with shift_mean=True (zero-mean output)."""
+    mean = masked_mean(x, mask)
+    var = masked_mean((x - mean) ** 2, mask)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-8)
+
+
+class RolloutStats(NamedTuple):
+    logprobs: jax.Array  # (B, L-1) per-token logp of sequence tokens
+    ref_logprobs: jax.Array
+    values: jax.Array  # (B, L-1) value at each position
+    advantages: jax.Array
+    returns: jax.Array
+    response_mask: jax.Array  # (B, L-1) 1 on response tokens
+    kl: jax.Array  # scalar mean KL (for the controller)
+
+
+def _token_logprobs(logits, ids):
+    """logp of ids[t+1] under logits[t]; (B, L-1)."""
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+
+
+def _forward_with_values(model_cfg, params, v_head, batch, ctx):
+    (logits, hidden), _ = vlm_forward(
+        model_cfg,
+        params,
+        input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        image_positions=batch.get("image_positions"),
+        pad_mask=batch["pad_mask"],
+        ctx=ctx,
+        return_logits=True,
+        return_hidden=True,
+    )
+    values = (
+        hidden.astype(jnp.float32) @ v_head["kernel"].astype(jnp.float32)
+    )[..., 0]
+    if "bias" in v_head:
+        values = values + v_head["bias"][0]
+    return logits, values
+
+
+def compute_rollout_stats(
+    model_cfg: VLMConfig,
+    ppo_cfg: PPOConfig,
+    params: PyTree,
+    trainable: PyTree,  # {"adapters", "v_head"}
+    batch: dict,  # input_ids (B,L) prompt+response, pad_mask, response_mask
+    scores: jax.Array,  # (B,) sequence-level rewards from the RM
+    kl_coef: jax.Array,  # scalar
+) -> RolloutStats:
+    ctx = Ctx(adapters=trainable["adapters"], lora_scale=ppo_cfg.lora_scale)
+    logits, values = _forward_with_values(
+        model_cfg, params, trainable["v_head"], batch, ctx
+    )
+    ref_logits, _ = vlm_forward(
+        model_cfg,
+        params,
+        input_ids=batch["input_ids"],
+        pixel_values=batch.get("pixel_values"),
+        image_positions=batch.get("image_positions"),
+        pad_mask=batch["pad_mask"],
+        ctx=Ctx(),
+    )
+    ids = batch["input_ids"]
+    logprobs = _token_logprobs(logits, ids)
+    ref_logprobs = _token_logprobs(ref_logits, ids)
+    mask = batch["response_mask"][:, 1:].astype(jnp.float32)
+    values = values[:, :-1] * mask
+
+    if ppo_cfg.score_clip is not None:
+        scores = jnp.clip(scores, -ppo_cfg.score_clip, ppo_cfg.score_clip)
+
+    kl = (logprobs - ref_logprobs) * mask
+    non_score_rewards = -kl_coef * kl
+    # sequence score lands on the LAST response token
+    last_idx = jnp.sum(batch["response_mask"], axis=1).astype(jnp.int32) - 1
+    resp_start = jnp.argmax(batch["response_mask"], axis=1)
+    last_pos = resp_start + jnp.maximum(last_idx, 0) - 1  # shifted coords
+    rewards = non_score_rewards
+    rewards = rewards.at[jnp.arange(ids.shape[0]), last_pos].add(scores)
+    rewards = rewards * mask
+
+    def gae_step(carry, xs):
+        lastgaelam = carry
+        delta, m = xs
+        lastgaelam = delta + ppo_cfg.gamma * ppo_cfg.lam * lastgaelam * m
+        return lastgaelam, lastgaelam
+
+    next_values = jnp.concatenate(
+        [values[:, 1:], jnp.zeros_like(values[:, :1])], axis=1
+    )
+    deltas = (rewards + ppo_cfg.gamma * next_values - values) * mask
+    _, adv_rev = jax.lax.scan(
+        gae_step,
+        jnp.zeros((ids.shape[0],)),
+        (deltas[:, ::-1].T, mask[:, ::-1].T),
+    )
+    advantages = adv_rev.T[:, ::-1] * mask
+    returns = advantages + values
+    if ppo_cfg.whiten_advantages:
+        advantages = masked_whiten(advantages, mask) * mask
+    advantages = jax.lax.stop_gradient(advantages)
+
+    return RolloutStats(
+        logprobs=jax.lax.stop_gradient(logprobs),
+        ref_logprobs=jax.lax.stop_gradient(ref_logprobs),
+        values=jax.lax.stop_gradient(values),
+        advantages=advantages,
+        returns=jax.lax.stop_gradient(returns),
+        response_mask=mask,
+        kl=masked_mean(kl, mask),
+    )
+
+
+def ppo_update_fn(
+    model_cfg: VLMConfig,
+    ppo_cfg: PPOConfig,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    base_params: PyTree,
+    batch: dict,
+    stats: RolloutStats,
+):
+    """One PPO inner update over the whole batch (driver loops epochs)."""
+
+    def loss_fn(trainable):
+        ctx = Ctx(adapters=trainable["adapters"], lora_scale=ppo_cfg.lora_scale)
+        logits, values = _forward_with_values(
+            model_cfg, base_params, trainable["v_head"], batch, ctx
+        )
+        new_logprobs = _token_logprobs(logits, batch["input_ids"])
+        mask = stats.response_mask
+        values = values[:, :-1] * mask
+
+        ratio = jnp.exp((new_logprobs - stats.logprobs) * mask)
+        pg1 = -stats.advantages * ratio
+        pg2 = -stats.advantages * jnp.clip(
+            ratio, 1.0 - ppo_cfg.cliprange, 1.0 + ppo_cfg.cliprange
+        )
+        pg_loss = masked_mean(jnp.maximum(pg1, pg2), mask)
+
+        v_clipped = jnp.clip(
+            values,
+            stats.values - ppo_cfg.cliprange_value,
+            stats.values + ppo_cfg.cliprange_value,
+        )
+        vf1 = (values - stats.returns) ** 2
+        vf2 = (v_clipped - stats.returns) ** 2
+        vf_loss = 0.5 * masked_mean(jnp.maximum(vf1, vf2), mask)
+
+        loss = pg_loss + ppo_cfg.vf_coef * vf_loss
+        approx_kl = masked_mean(0.5 * (new_logprobs - stats.logprobs) ** 2, mask)
+        metrics = {
+            "ppo/loss/policy": pg_loss,
+            "ppo/loss/value": vf_loss,
+            "ppo/loss/total": loss,
+            "ppo/policy/approxkl": approx_kl,
+            "ppo/policy/clipfrac": masked_mean(
+                (jnp.abs(ratio - 1.0) > ppo_cfg.cliprange).astype(jnp.float32),
+                mask,
+            ),
+            "ppo/ratio_mean": masked_mean(ratio, mask),
+        }
+        return loss, metrics
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.trainable
+    )
+    new_state = apply_updates(state, grads, tx)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def rollout_to_batch(
+    prompt_batch: dict,
+    response_tokens,  # (B, N) from the generation engine (pad-filled)
+    pad_token_id: int,
+) -> dict:
+    """Host-side: splice generated responses after each row's prompt.
+
+    Keeps token IDS from the rollout rather than the reference's
+    decode->retokenize round trip (base/trainer.py:444-447) — identical
+    semantics when the template's tokenization is prefix-stable, and it can't
+    desync the reward positions.
+    """
+    import numpy as np
+
+    ids_p = np.asarray(prompt_batch["input_ids"])
+    plens = np.asarray(prompt_batch["prompt_lens"])
+    resp = np.asarray(response_tokens)
+    b, n_new = resp.shape
+    resp_lens = (resp != pad_token_id).sum(axis=1)
+    L = int((plens + resp_lens).max())
+    L = -(-L // 128) * 128 if L > 128 else L
+    ids = np.full((b, L), pad_token_id, ids_p.dtype)
+    pad_mask = np.zeros((b, L), bool)
+    resp_mask = np.zeros((b, L), bool)
+    for i in range(b):
+        p, r = int(plens[i]), int(resp_lens[i])
+        ids[i, :p] = ids_p[i, :p]
+        ids[i, p : p + r] = resp[i, :r]
+        pad_mask[i, : p + r] = True
+        resp_mask[i, p : p + r] = True
+    out = {
+        "input_ids": ids,
+        "pad_mask": pad_mask,
+        "response_mask": resp_mask,
+    }
+    for k in ("pixel_values", "image_positions"):
+        if prompt_batch.get(k) is not None:
+            out[k] = prompt_batch[k]
+    return out
+
+
+class AdaptiveKLController:
+    """TRL's adaptive KL controller (proportional, clipped)."""
+
+    def __init__(self, cfg: PPOConfig):
+        self.value = cfg.init_kl_coef
+        self.cfg = cfg
+
+    def update(self, current_kl: float, n_steps: int):
+        if not self.cfg.adaptive_kl:
+            return self.value
+        target = self.cfg.target_kl
+        proportional_error = float(jnp.clip(current_kl / target - 1, -0.2, 0.2))
+        mult = 1 + proportional_error * n_steps / self.cfg.kl_horizon
+        self.value *= mult
+        return self.value
+
+
+def make_ppo_fns(model_cfg: VLMConfig, ppo_cfg: PPOConfig, tx):
+    stats_fn = jax.jit(
+        lambda params, trainable, batch, scores, kl_coef: compute_rollout_stats(
+            model_cfg, ppo_cfg, params, trainable, batch, scores, kl_coef
+        )
+    )
+    update_fn = jax.jit(
+        lambda state, base_params, batch, stats: ppo_update_fn(
+            model_cfg, ppo_cfg, tx, state, base_params, batch, stats
+        ),
+        donate_argnums=(0,),
+    )
+    return stats_fn, update_fn
