@@ -43,6 +43,13 @@ class ProcessorConfig:
     max_prompt_length: int = 512
     truncation_mode: str = "keep_end"
     add_bos: bool = True
+    # Qwen-style wrapped expansion: placeholder -> start + n*pad + end, with
+    # features scattered onto the pad slots (the reference's image_start_id /
+    # image_pad_id / image_end_id markers, models/QwenVL/tokenization_qwen.py;
+    # the splice positions match modeling_qwen.py:620-625).
+    image_start_id: Optional[int] = None
+    image_end_id: Optional[int] = None
+    image_pad_id: Optional[int] = None  # defaults to image_token_id
 
 
 def make_single_turn_conv(prompt: str, answer: str = "") -> list[dict]:
@@ -308,17 +315,27 @@ class VLProcessor:
         occ = np.nonzero(ids == img_id)[0]
         if len(occ) == 0:
             return ids, (None if labels is None else np.asarray(labels)), np.zeros((0,), np.int32)
+        pad_id = self.cfg.image_pad_id if self.cfg.image_pad_id is not None else img_id
+        wrapped = self.cfg.image_start_id is not None
         out_ids, out_labels, positions = [], [], []
         prev = 0
         for o in occ:
             out_ids.extend(ids[prev:o].tolist())
             if labels is not None:
                 out_labels.extend(list(labels[prev:o]))
+            if wrapped:
+                out_ids.append(self.cfg.image_start_id)
+                if labels is not None:
+                    out_labels.append(LABEL_PAD)
             start = len(out_ids)
-            out_ids.extend([img_id] * n_tok)
+            out_ids.extend([pad_id] * n_tok)
             if labels is not None:
                 out_labels.extend([LABEL_PAD] * n_tok)
             positions.extend(range(start, start + n_tok))
+            if wrapped:
+                out_ids.append(self.cfg.image_end_id)
+                if labels is not None:
+                    out_labels.append(LABEL_PAD)
             prev = o + 1
         out_ids.extend(ids[prev:].tolist())
         if labels is not None:

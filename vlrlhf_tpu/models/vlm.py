@@ -29,6 +29,7 @@ from vlrlhf_tpu.models.common import (
     merge_multimodal_embeddings,
 )
 from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params, lm_forward
+from vlrlhf_tpu.models.vision.qformer import QFormerConfig
 from vlrlhf_tpu.models.vision.vit import ViTConfig, init_vit_params, vit_forward
 
 PyTree = Any
@@ -36,9 +37,13 @@ PyTree = Any
 
 @dataclasses.dataclass(frozen=True)
 class ProjectorConfig:
-    kind: str = "mlp2x_gelu"  # 'mlp2x_gelu' | 'linear'
+    # 'mlp2x_gelu' (LLaVA), 'linear' (InstructBLIP language_projection),
+    # 'resampler' (Qwen-VL attn_pool + ln_post + proj).
+    kind: str = "mlp2x_gelu"
     in_dim: int = 1024
     out_dim: int = 4096
+    num_queries: int = 256  # resampler only
+    num_heads: int = 32  # resampler only
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +53,8 @@ class VLMConfig:
     projector: ProjectorConfig
     image_token_id: int
     num_image_tokens: int  # placeholder tokens per image (static)
+    # InstructBLIP: instruction-aware Q-Former between tower and projector.
+    qformer: Optional["QFormerConfig"] = None
     # PLoRA: gate LoRA deltas by image-position mask (InternLM-XC2).
     plora: bool = False
     family: str = "llava"
@@ -57,10 +64,34 @@ class VLMConfig:
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
 
+def _resampler_cfg(cfg: ProjectorConfig, dtype):
+    from vlrlhf_tpu.models.vision.resampler import ResamplerConfig
+
+    return ResamplerConfig(
+        embed_dim=cfg.out_dim,
+        num_heads=cfg.num_heads,
+        kv_dim=cfg.in_dim,
+        num_queries=cfg.num_queries,
+        dtype=dtype,
+    )
+
+
 def init_projector_params(cfg: ProjectorConfig, key: jax.Array, dtype) -> PyTree:
     k1, k2 = jax.random.split(key)
     if cfg.kind == "linear":
         return {"fc1": init_linear(k1, cfg.in_dim, cfg.out_dim, True, dtype)}
+    if cfg.kind == "resampler":
+        from vlrlhf_tpu.models.vision.resampler import init_resampler_params
+
+        d = cfg.out_dim
+        return {
+            "resampler": init_resampler_params(_resampler_cfg(cfg, dtype), k1),
+            "ln_post": {
+                "weight": jnp.ones((d,), dtype),
+                "bias": jnp.zeros((d,), dtype),
+            },
+            "proj": {"kernel": (jax.random.normal(k2, (d, d)) * d**-0.5).astype(dtype)},
+        }
     return {
         "fc1": init_linear(k1, cfg.in_dim, cfg.out_dim, True, dtype),
         "fc2": init_linear(k2, cfg.out_dim, cfg.out_dim, True, dtype),
@@ -68,6 +99,13 @@ def init_projector_params(cfg: ProjectorConfig, key: jax.Array, dtype) -> PyTree
 
 
 def projector_forward(cfg: ProjectorConfig, p: PyTree, x: jax.Array) -> jax.Array:
+    if cfg.kind == "resampler":
+        from vlrlhf_tpu.models.vision.resampler import resampler_forward
+        from vlrlhf_tpu.ops.norms import layer_norm
+
+        x = resampler_forward(_resampler_cfg(cfg, x.dtype), p["resampler"], x)
+        x = layer_norm(x, p["ln_post"]["weight"], p["ln_post"]["bias"], 1e-6)
+        return x @ p["proj"]["kernel"].astype(x.dtype)
     x = linear(p["fc1"], x)
     if cfg.kind == "mlp2x_gelu":
         x = linear(p["fc2"], jax.nn.gelu(x))
@@ -75,21 +113,29 @@ def projector_forward(cfg: ProjectorConfig, p: PyTree, x: jax.Array) -> jax.Arra
 
 
 def init_vlm_params(cfg: VLMConfig, key: jax.Array) -> PyTree:
-    kv, kp, kl = jax.random.split(key, 3)
-    return {
+    kv, kp, kl, kq = jax.random.split(key, 4)
+    params = {
         "vision": init_vit_params(cfg.vision, kv),
         "projector": init_projector_params(cfg.projector, kp, cfg.lm.dtype),
         "lm": init_lm_params(cfg.lm, kl),
     }
+    if cfg.qformer is not None:
+        from vlrlhf_tpu.models.vision.qformer import init_qformer_params
+
+        params["qformer"] = init_qformer_params(cfg.qformer, kq)
+    return params
 
 
 def encode_images(
     cfg: VLMConfig,
     params: PyTree,
-    pixel_values: jax.Array,  # (B*n_img, H, W, 3) normalized
+    pixel_values: jax.Array,  # (B*n_img, H, W, 3) normalized or uint8
     ctx: Optional[Ctx] = None,
+    qformer_ids: Optional[jax.Array] = None,  # (B*n_img, T) InstructBLIP
+    qformer_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Run the tower + projector: (B*n_img, num_image_tokens, lm_hidden)."""
+    """Run the tower (+ Q-Former) + projector:
+    (B*n_img, num_image_tokens, lm_hidden)."""
     ctx = ctx or Ctx()
     if pixel_values.dtype == jnp.uint8:
         x = pixel_values.astype(jnp.float32) / 255.0
@@ -97,6 +143,12 @@ def encode_images(
         std = jnp.asarray(cfg.image_std, jnp.float32)
         pixel_values = ((x - mean) / std).astype(cfg.lm.dtype)
     feats = vit_forward(cfg.vision, params["vision"], pixel_values, ctx.sub("vision"))
+    if cfg.qformer is not None:
+        from vlrlhf_tpu.models.vision.qformer import qformer_forward
+
+        feats = qformer_forward(
+            cfg.qformer, params["qformer"], feats, qformer_ids, qformer_mask
+        )
     return projector_forward(cfg.projector, params["projector"], feats)
 
 
@@ -114,6 +166,8 @@ def vlm_forward(
     cache: Optional[dict] = None,
     kv_mask: Optional[jax.Array] = None,
     image_features: Optional[jax.Array] = None,  # precomputed (skip tower)
+    qformer_ids: Optional[jax.Array] = None,
+    qformer_mask: Optional[jax.Array] = None,
     return_logits: bool = True,
     return_hidden: bool = False,
 ):
@@ -124,7 +178,9 @@ def vlm_forward(
     if image_features is None and pixel_values is not None:
         b, n_img = pixel_values.shape[:2]
         flat = pixel_values.reshape(b * n_img, *pixel_values.shape[2:])
-        image_features = encode_images(cfg, params, flat, ctx)
+        image_features = encode_images(
+            cfg, params, flat, ctx, qformer_ids, qformer_mask
+        )
         image_features = image_features.reshape(
             b, n_img * cfg.num_image_tokens, -1
         )
