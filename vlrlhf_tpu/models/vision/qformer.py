@@ -127,15 +127,12 @@ def qformer_forward(
     queries = jnp.broadcast_to(
         params["query_tokens"].astype(dt)[None], (b, nq, cfg.hidden_size)
     )
+    emb = params["embeddings"]
     if instruction_ids is not None:
-        emb = params["embeddings"]
         t = instruction_ids.shape[1]
         text = jnp.take(emb["word"]["embedding"], instruction_ids, axis=0)
         text = text + emb["position"]["embedding"][:t][None]
-        text = layer_norm(
-            text.astype(dt), emb["ln"]["weight"], emb["ln"]["bias"], cfg.ln_eps
-        )
-        x = jnp.concatenate([queries, text], axis=1)
+        x = jnp.concatenate([queries, text.astype(dt)], axis=1)
         tmask = (
             instruction_mask.astype(bool)
             if instruction_mask is not None
@@ -145,6 +142,9 @@ def qformer_forward(
     else:
         x = queries
         full_mask = jnp.ones((b, nq), bool)
+    # HF applies the embeddings LayerNorm to the concatenated [queries; text]
+    # (InstructBlipQFormerEmbeddings.forward).
+    x = layer_norm(x, emb["ln"]["weight"], emb["ln"]["bias"], cfg.ln_eps)
 
     s = x.shape[1]
     self_mask = (full_mask[:, None, :] & full_mask[:, :, None])[:, None]
