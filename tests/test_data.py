@@ -158,7 +158,7 @@ def test_dpo_collator_ddpo_masks():
     assert not (lm & (batch["labels"] == LABEL_PAD)).any()
 
 
-def test_generation_collator_left_pads():
+def test_generation_collator_right_pads():
     p = make_processor()
     ccfg = CollatorConfig(pad_token_id=0, bucket_multiple=16, image_size=16)
     coll = GenerationCollator(p, ccfg, image_loader=fake_image_loader)
@@ -171,11 +171,11 @@ def test_generation_collator_left_pads():
         )
     batch = coll(rows)
     ids, mask = batch["input_ids"], batch["pad_mask"]
-    # padding strictly on the left
+    # padding strictly on the RIGHT (engine decodes from each prompt_len slot)
     for i in range(2):
-        n = int(mask[i].sum())
-        assert (~mask[i][: ids.shape[1] - n]).all()
-        assert mask[i][ids.shape[1] - n :].all()
+        n = int(batch["prompt_lens"][i])
+        assert mask[i][:n].all()
+        assert (~mask[i][n:]).all()
     # image positions point at image tokens
     pos = batch["image_positions"][0]
     assert (ids[0][pos] == 3).all()
