@@ -22,10 +22,10 @@ from vlrlhf_tpu.data.tokenizer import ToyTokenizer
 N_IMG_TOKENS = 4
 
 
-def make_processor(template="llava", **kw):
+def make_processor(template="llava", num_image_tokens=N_IMG_TOKENS, **kw):
     tok = ToyTokenizer()
     cfg = ProcessorConfig(
-        num_image_tokens=N_IMG_TOKENS,
+        num_image_tokens=num_image_tokens,
         image_token="<image>",
         image_token_id=3,  # ToyTokenizer's <image> id
         max_length=kw.pop("max_length", 64),

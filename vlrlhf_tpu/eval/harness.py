@@ -1,0 +1,163 @@
+"""Eval harness core: batched generation + per-choice CE ranking on TPU.
+
+Replaces /root/reference/src/vlrlhf/eval/utils.py:
+  run_vqa     (:51-82)  -> EvalRunner.run_vqa: the TPU generation engine
+                           decodes ONLY new tokens (no echo-stripping
+                           heuristics needed), batches bucketed by prompt len.
+  run_vqa_ppl (:85-120) -> EvalRunner.run_vqa_ppl: per-choice mean-CE ranking
+                           in one jitted forward per bucket.
+  run_vqa_sgl (:123-173)-> subsumed: the same engine IS the fast path (no
+                           external sglang server; TP via the mesh).
+
+Data-parallel eval over a mesh shards batches on (data, fsdp) exactly like
+training; results gather on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlrlhf_tpu.data.collators import CollatorConfig, GenerationCollator, SFTCollator
+from vlrlhf_tpu.data.processor import VLProcessor, make_single_turn_conv
+from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
+
+PyTree = Any
+
+
+@dataclasses.dataclass
+class EvalRunner:
+    model_cfg: VLMConfig
+    params: PyTree
+    processor: VLProcessor
+    gen_cfg: GenerateConfig
+    collator_cfg: CollatorConfig
+    image_loader: Optional[Callable] = None
+    adapters: Optional[PyTree] = None
+    lora_scale: float = 1.0
+
+    def __post_init__(self):
+        self._gen = Generator(
+            self.model_cfg, self.gen_cfg, self.adapters, self.lora_scale
+        )
+        self._gen_collator = GenerationCollator(
+            self.processor, self.collator_cfg, self.image_loader
+        )
+        self._sft_collator = SFTCollator(
+            self.processor, self.collator_cfg, self.image_loader
+        )
+        self._ce_fn = None
+
+    # ───────────── generation mode ─────────────
+
+    def _prompt_row(self, question: str, img_path) -> dict:
+        n_img = 0 if img_path is None else (
+            len(img_path) if isinstance(img_path, list) else 1
+        )
+        prompt = self.processor.format_multimodal_prompt(question, n_img)
+        conv = make_single_turn_conv(prompt, "")
+        out = self.processor.process_conv(conv)
+        return {"input_ids": out["input_ids"], "img_path": img_path}
+
+    def run_vqa(
+        self,
+        rows: Sequence[dict],
+        batch_size: int = 16,
+        prompt_key: str = "question",
+        image_key: str = "img",
+        progress: bool = False,
+    ) -> list[dict]:
+        """Each row gains a 'response' string; returns rows in order."""
+        results = []
+        it = range(0, len(rows), batch_size)
+        if progress:
+            from tqdm import tqdm
+
+            it = tqdm(it, total=-(-len(rows) // batch_size))
+        for start in it:
+            chunk = list(rows[start : start + batch_size])
+            prompt_rows = [
+                self._prompt_row(r[prompt_key], r.get(image_key)) for r in chunk
+            ]
+            batch = self._gen_collator(prompt_rows)
+            tokens = np.asarray(self._gen(self.params, batch))
+            for r, toks in zip(chunk, tokens):
+                toks = toks[toks != self.gen_cfg.pad_token_id]
+                r = dict(r)
+                r["response"] = self.processor.tokenizer.decode(
+                    toks.tolist(), skip_special_tokens=True
+                ).strip()
+                results.append(r)
+        return results
+
+    # ───────────── log-likelihood mode ─────────────
+
+    def _ce(self, batch: dict) -> np.ndarray:
+        if self._ce_fn is None:
+            cfg = self.model_cfg
+
+            def ce(params, input_ids, labels, pad_mask, pixel_values, image_positions):
+                logits, _ = vlm_forward(
+                    cfg,
+                    params,
+                    input_ids=input_ids,
+                    pixel_values=pixel_values,
+                    image_positions=image_positions,
+                    pad_mask=pad_mask,
+                )
+                lg = logits[:, :-1].astype(jnp.float32)
+                lb = labels[:, 1:]
+                mask = lb != -100
+                safe = jnp.where(mask, lb, 0)
+                logps = jax.nn.log_softmax(lg, axis=-1)
+                nll = -jnp.take_along_axis(logps, safe[..., None], axis=-1)[..., 0]
+                return jnp.sum(nll * mask, -1) / jnp.maximum(mask.sum(-1), 1)
+
+            self._ce_fn = jax.jit(ce)
+        return np.asarray(
+            self._ce_fn(
+                self.params,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["pad_mask"]),
+                jnp.asarray(batch["pixel_values"]),
+                jnp.asarray(batch["image_positions"]),
+            )
+        )
+
+    def run_vqa_ppl(
+        self,
+        rows: Sequence[dict],
+        batch_size: int = 16,
+        prompt_key: str = "question",
+        answer_key: str = "answer",
+        image_key: str = "img",
+        progress: bool = False,
+    ) -> list[dict]:
+        """Each row gains 'ppl' = mean CE of its answer tokens (the
+        reference's per-choice ranking metric, eval/utils.py:85-120)."""
+        results = []
+        for start in range(0, len(rows), batch_size):
+            chunk = list(rows[start : start + batch_size])
+            tok_rows = [
+                self.processor.tokenize_row_sft(
+                    {
+                        "prompt": r[prompt_key],
+                        "answer": r[answer_key],
+                        "img_path": r.get(image_key),
+                    }
+                )
+                for r in chunk
+            ]
+            batch = self._sft_collator(tok_rows)
+            ce = self._ce(batch)
+            for r, c in zip(chunk, ce):
+                r = dict(r)
+                r["ppl"] = float(c)
+                results.append(r)
+        return results
