@@ -1,0 +1,67 @@
+"""CLI smoke tests in --synthetic mode: dpo/sft/rm/ppo/eval end-to-end."""
+
+import json
+import os
+
+import pytest
+
+from vlrlhf_tpu.cli.main import main
+
+
+def _common(tmp_path, n=6):
+    return [
+        "--synthetic", str(n),
+        "--output_dir", str(tmp_path),
+        "--per_device_train_batch_size", "2",
+        "--max_steps", "2",
+        "--logging_steps", "1",
+        "--save_steps", "100",
+        "--lora_r", "4",
+        "--max_length", "64",
+        "--max_prompt_length", "48",
+        "--mesh_fsdp", "1",
+        "--bf16", "false",
+    ]
+
+
+def test_cli_dpo_synthetic(tmp_path):
+    main(["dpo", *_common(tmp_path), "--loss_type", "sigmoid"])
+    assert os.path.exists(tmp_path / "dpo_metrics.jsonl")
+    with open(tmp_path / "dpo_metrics.jsonl") as f:
+        records = [json.loads(line) for line in f]
+    assert any("loss" in r for r in records)
+    assert os.path.exists(tmp_path / "adapters")
+
+
+def test_cli_sft_synthetic(tmp_path):
+    main(["sft", *_common(tmp_path), "--merge_adapter_after_training"])
+    assert os.path.exists(tmp_path / "adapters")
+    assert os.path.exists(tmp_path / "merged")
+
+
+def test_cli_rm_synthetic(tmp_path):
+    main(["rm", *_common(tmp_path)])
+    assert os.path.exists(tmp_path / "adapters")
+
+
+def test_cli_ppo_synthetic(tmp_path):
+    main(["ppo", *_common(tmp_path), "--max_new_tokens", "4"])
+    assert os.path.exists(tmp_path / "ppo_metrics.jsonl")
+
+
+def test_cli_eval_synthetic(tmp_path):
+    rows = [
+        {"text": "is there a dog?", "label": "yes", "image": "a.jpg"},
+        {"text": "is there a cat?", "label": "no", "image": "b.jpg"},
+    ]
+    data = tmp_path / "pope.jsonl"
+    with open(data, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    main([
+        "eval", *_common(tmp_path),
+        "--benchmark", "pope",
+        "--data_file", str(data),
+        "--max_new_tokens", "4",
+    ])
+    assert os.path.exists(tmp_path / "pope.json")

@@ -1,0 +1,198 @@
+"""Model bundle loading: HF checkpoint dir -> (family, config, params, processor).
+
+The TPU analog of the reference's MyAutoModel/MyAutoProcessor dispatch
+(/root/reference/src/vlrlhf/utils/auto_load.py:64-139): read config.json,
+resolve the family from architectures[0], derive a VLMConfig from the HF
+config values, port the weights, build the processor around the HF tokenizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from vlrlhf_tpu.data.tokenizer import HFTokenizer
+from vlrlhf_tpu.models.lm.llama import LMConfig
+from vlrlhf_tpu.models.registry import (
+    FAMILIES,
+    ModelFamily,
+    make_processor,
+    resolve_family,
+)
+from vlrlhf_tpu.models.vision.qformer import QFormerConfig
+from vlrlhf_tpu.models.vision.vit import ViTConfig
+from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+
+def _llama_lm_from_hf(tc: dict, dtype) -> LMConfig:
+    return LMConfig(
+        vocab_size=tc["vocab_size"],
+        hidden_size=tc["hidden_size"],
+        intermediate_size=tc["intermediate_size"],
+        num_layers=tc["num_hidden_layers"],
+        num_heads=tc["num_attention_heads"],
+        num_kv_heads=tc.get("num_key_value_heads", tc["num_attention_heads"]),
+        rope_base=tc.get("rope_theta", 10000.0),
+        max_position_embeddings=tc.get("max_position_embeddings", 4096),
+        rms_eps=tc.get("rms_norm_eps", 1e-5),
+        dtype=dtype,
+    )
+
+
+def _clip_vit_from_hf(vc: dict, dtype, feature_layer=-2, drop_cls=True) -> ViTConfig:
+    return ViTConfig(
+        image_size=vc["image_size"],
+        patch_size=vc["patch_size"],
+        hidden_size=vc["hidden_size"],
+        num_layers=vc["num_hidden_layers"],
+        num_heads=vc["num_attention_heads"],
+        mlp_dim=vc["intermediate_size"],
+        act=vc.get("hidden_act", "quick_gelu"),
+        feature_layer=feature_layer,
+        drop_class_token=drop_cls,
+        ln_eps=vc.get("layer_norm_eps", 1e-5),
+        dtype=dtype,
+    )
+
+
+def config_from_hf(hf: dict, dtype=jnp.bfloat16) -> tuple[ModelFamily, VLMConfig]:
+    arch = hf["architectures"][0]
+    text_name = ""
+    if "text_config" in hf:
+        text_name = hf["text_config"].get("_name_or_path", "") or hf[
+            "text_config"
+        ].get("model_type", "")
+    family = resolve_family(arch, text_name)
+
+    if family.name in ("llava", "llava_next_vicuna", "llava_next_mistral"):
+        tc, vc = hf["text_config"], hf["vision_config"]
+        cfg = VLMConfig(
+            lm=_llama_lm_from_hf(tc, dtype),
+            vision=_clip_vit_from_hf(
+                vc, dtype, feature_layer=hf.get("vision_feature_layer", -2)
+            ),
+            projector=ProjectorConfig(
+                kind="mlp2x_gelu",
+                in_dim=vc["hidden_size"],
+                out_dim=tc["hidden_size"],
+            ),
+            image_token_id=hf.get("image_token_index", 32000),
+            num_image_tokens=(vc["image_size"] // vc["patch_size"]) ** 2,
+            family=family.name,
+        )
+    elif family.name == "qwen_vl":
+        vis = hf["visual"]
+        cfg = VLMConfig(
+            lm=LMConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"] // 2,
+                num_layers=hf["num_hidden_layers"],
+                num_heads=hf["num_attention_heads"],
+                num_kv_heads=hf["num_attention_heads"],
+                head_dim=hf.get("kv_channels", 128),
+                qkv_bias=True,
+                rope_base=hf.get("rotary_emb_base", 10000.0),
+                rope_scaling_type="dynamic" if hf.get("use_dynamic_ntk") else "none",
+                max_position_embeddings=hf.get("seq_length", 8192),
+                rms_eps=hf.get("layer_norm_epsilon", 1e-6),
+                dtype=dtype,
+            ),
+            vision=ViTConfig(
+                image_size=vis["image_size"],
+                patch_size=vis["patch_size"],
+                hidden_size=vis["width"],
+                num_layers=vis["layers"],
+                num_heads=vis["heads"],
+                mlp_dim=int(vis["width"] * vis["mlp_ratio"]),
+                act="gelu",
+                use_class_token=False,
+                use_pre_norm=True,
+                use_post_norm=False,
+                ln_eps=1e-6,
+                dtype=dtype,
+            ),
+            projector=ProjectorConfig(
+                kind="resampler",
+                in_dim=vis["width"],
+                out_dim=vis["output_dim"],
+                num_queries=vis.get("n_queries", 256),
+                num_heads=max(vis["output_dim"] // 128, 1),
+            ),
+            image_token_id=vis.get("image_start_id", 151857) + 2,  # <imgpad>
+            num_image_tokens=vis.get("n_queries", 256),
+            family="qwen_vl",
+        )
+    elif family.name == "internlm_xc2":
+        cfg = dataclasses.replace(
+            FAMILIES["internlm_xc2"].make_config(dtype),
+            lm=_llama_lm_from_hf(hf, dtype),
+        )
+    elif family.name == "instructblip":
+        tc, vc, qc = hf["text_config"], hf["vision_config"], hf["qformer_config"]
+        cfg = VLMConfig(
+            lm=_llama_lm_from_hf(tc, dtype),
+            vision=ViTConfig(
+                image_size=vc["image_size"],
+                patch_size=vc["patch_size"],
+                hidden_size=vc["hidden_size"],
+                num_layers=vc["num_hidden_layers"],
+                num_heads=vc["num_attention_heads"],
+                mlp_dim=vc["intermediate_size"],
+                act=vc.get("hidden_act", "gelu"),
+                use_pre_norm=False,
+                use_post_norm=True,
+                patch_bias=True,
+                ln_eps=vc.get("layer_norm_eps", 1e-6),
+                dtype=dtype,
+            ),
+            projector=ProjectorConfig(
+                kind="linear", in_dim=qc["hidden_size"], out_dim=tc["hidden_size"]
+            ),
+            qformer=QFormerConfig(
+                vocab_size=qc["vocab_size"],
+                hidden_size=qc["hidden_size"],
+                num_layers=qc["num_hidden_layers"],
+                num_heads=qc["num_attention_heads"],
+                intermediate_size=qc["intermediate_size"],
+                encoder_hidden_size=vc["hidden_size"],
+                num_query_tokens=hf.get("num_query_tokens", 32),
+                cross_attention_frequency=qc.get("cross_attention_frequency", 2),
+                dtype=dtype,
+            ),
+            image_token_id=hf.get("image_token_index", 32000),
+            num_image_tokens=hf.get("num_query_tokens", 32),
+            family="instructblip",
+        )
+    else:
+        raise ValueError(f"Unknown family {family.name}")
+    return family, cfg
+
+
+def load_model_bundle(
+    path: str,
+    dtype=jnp.bfloat16,
+    max_length: int = 1024,
+    max_prompt_length: int = 512,
+):
+    """Full production load: config + weights + tokenizer + processor."""
+    from vlrlhf_tpu.utils.hf_port import PORTERS, cast_tree, load_hf_state_dict
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    family, cfg = config_from_hf(hf, dtype)
+    sd = load_hf_state_dict(path)
+    params = PORTERS[family.name](sd, cfg)
+    params = cast_tree(params, dtype)
+    tokenizer = HFTokenizer.from_pretrained(path, trust_remote_code=True)
+    processor = make_processor(
+        family,
+        tokenizer,
+        max_length=max_length,
+        max_prompt_length=max_prompt_length,
+    )
+    return family, cfg, params, processor

@@ -1,0 +1,540 @@
+"""CLI: vlrlhf dpo|sft|rm|ppo|eval|merge.
+
+Flag names mirror the reference's HfArgumentParser dataclasses
+(/root/reference/src/vlrlhf/dpo.py:16-87, docs/TrainingArguments.md) so
+recipes translate 1:1; distribution flags (--mesh_*) replace the
+accelerate/deepspeed YAML layer (accelerate_config/*.yaml).
+
+`--synthetic N` swaps the checkpoint for a scaled-down family model +
+ToyTokenizer + N synthetic preference pairs — the hermetic smoke path used by
+tests and by `bash`-level sanity checks (the reference has no equivalent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _common_args(p: argparse.ArgumentParser):
+    p.add_argument("--model_name_or_path", type=str, default=None)
+    p.add_argument("--model_family", type=str, default="llava",
+                   choices=["llava", "llava_next_vicuna", "llava_next_mistral",
+                            "qwen_vl", "internlm_xc2", "instructblip"])
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--dataset_name", type=str, default="plain_dpo")
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--image_root", type=str, default="")
+    p.add_argument("--data_ratio", type=float, default=1.0)
+    p.add_argument("--score_margin", type=float, default=-1)
+    p.add_argument("--max_length", type=int, default=1024)
+    p.add_argument("--max_prompt_length", type=int, default=512)
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--lr_scheduler_type", type=str, default="cosine")
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use_lora", type=lambda x: x.lower() == "true", default=True)
+    p.add_argument("--lora_r", type=int, default=64)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--lora_dropout", type=float, default=0.05)
+    p.add_argument("--lora_target_modules", type=str, default="auto")
+    p.add_argument("--freeze_vision_tower", type=lambda x: x.lower() == "true",
+                   default=True)
+    p.add_argument("--bf16", type=lambda x: x.lower() == "true", default=True)
+    p.add_argument("--report_to", type=str, default="jsonl")
+    p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--merge_adapter_after_training", action="store_true")
+    # mesh / distribution (replaces accelerate_config yaml)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_fsdp", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    # hermetic smoke mode
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use a tiny model + N synthetic rows (no checkpoint)")
+
+
+def _synthetic_bundle(args):
+    from vlrlhf_tpu.data.tokenizer import ToyTokenizer
+    from vlrlhf_tpu.models.registry import FAMILIES, make_processor, scale_down
+
+    family = FAMILIES[args.model_family]
+    cfg = scale_down(family.make_config())
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+
+    params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
+    tok = ToyTokenizer()
+    overrides = dict(family.processor_defaults)
+    overrides.update(
+        num_image_tokens=cfg.num_image_tokens,
+        image_token_id=3,  # ToyTokenizer <image>
+        image_start_id=None, image_end_id=None, image_pad_id=None,
+        max_length=args.max_length, max_prompt_length=args.max_prompt_length,
+    )
+    from vlrlhf_tpu.data.processor import ProcessorConfig, VLProcessor
+
+    processor = VLProcessor(tok, family.template, ProcessorConfig(**overrides))
+    return family, cfg, params, processor
+
+
+def _synthetic_rows(n: int, with_pairs: bool = True):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        row = {
+            "prompt": f"describe item {i} " + " ".join(
+                f"w{rng.integers(100)}" for _ in range(int(rng.integers(3, 9)))
+            ),
+            "img_path": None,
+        }
+        if with_pairs:
+            row["chosen"] = f"a good answer {i} with detail"
+            row["rejected"] = f"a bad answer {i}"
+        else:
+            row["answer"] = f"an answer {i}"
+        rows.append(row)
+    return rows
+
+
+def _load_bundle(args):
+    if args.synthetic:
+        return _synthetic_bundle(args)
+    from vlrlhf_tpu.cli.loading import load_model_bundle
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    return load_model_bundle(
+        args.model_name_or_path, dtype, args.max_length, args.max_prompt_length
+    )
+
+
+def _load_rows(args, with_pairs=True):
+    if args.synthetic:
+        return _synthetic_rows(args.synthetic, with_pairs)
+    from vlrlhf_tpu.data.datasets import DATASET_MAP
+
+    builder = DATASET_MAP[args.dataset_name]
+    kwargs = {}
+    if args.data_path:
+        kwargs["data_path"] = args.data_path
+    if args.image_root:
+        kwargs["image_root"] = args.image_root
+    if args.dataset_name == "vlfeedback_paired":
+        kwargs["score_margin"] = args.score_margin
+    rows = builder(**kwargs)
+    if args.data_ratio < 1.0:
+        rows = rows[: int(len(rows) * args.data_ratio)]
+    return rows
+
+
+def _setup_training(args, cfg, params, family):
+    from jax.sharding import NamedSharding
+
+    from vlrlhf_tpu.core.mesh import MeshConfig, make_mesh
+    from vlrlhf_tpu.core.partitioning import (
+        batch_spec,
+        default_lm_rules,
+        make_sharding,
+        shard_pytree,
+    )
+    from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+    from vlrlhf_tpu.train.train_state import OptimizerConfig, make_optimizer
+
+    mesh = make_mesh(
+        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model)
+    )
+    rules = default_lm_rules()
+    params = shard_pytree(rules, params, mesh)
+
+    targets = (
+        family.lora_targets
+        if args.lora_target_modules == "auto"
+        else tuple(args.lora_target_modules.split(","))
+    )
+    lcfg = LoraConfig(
+        r=args.lora_r, alpha=args.lora_alpha, dropout=args.lora_dropout,
+        target_patterns=targets,
+    )
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(args.seed))
+    total = args.max_steps or 1000
+    ocfg = OptimizerConfig(
+        learning_rate=args.learning_rate,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=total,
+        schedule=args.lr_scheduler_type,
+        weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        grad_accum_steps=args.gradient_accumulation_steps,
+    )
+    batch_sharding = NamedSharding(mesh, batch_spec())
+    return mesh, rules, params, lcfg, adapters, ocfg, batch_sharding
+
+
+def _finish(args, state, params, lcfg, processor):
+    from vlrlhf_tpu.train.checkpoint import save_params
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    save_params(os.path.join(args.output_dir, "adapters"), state.trainable)
+    if args.merge_adapter_after_training:
+        from vlrlhf_tpu.lora.lora import merge_lora
+
+        merged = merge_lora(params, state.trainable, lcfg.scale)
+        save_params(os.path.join(args.output_dir, "merged"), merged)
+    print(f"saved to {args.output_dir}")
+
+
+def cmd_dpo(args):
+    from vlrlhf_tpu.data.collators import CollatorConfig, DPOCollator
+    from vlrlhf_tpu.train.checkpoint import CheckpointManager
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.loop import batch_iterator, run_training
+    from vlrlhf_tpu.train.metrics import MetricsLogger
+    from vlrlhf_tpu.train.train_state import init_train_state, make_optimizer
+
+    family, cfg, params, processor = _load_bundle(args)
+    rows = _load_rows(args, with_pairs=True)
+    mesh, rules, params, lcfg, adapters, ocfg, batch_sharding = _setup_training(
+        args, cfg, params, family
+    )
+    tx = make_optimizer(ocfg, adapters)
+    state = init_train_state(adapters, tx)
+    dcfg = DPOConfig(
+        beta=args.beta, label_smoothing=args.label_smoothing,
+        loss_type=args.loss_type, lora_scale=lcfg.scale,
+        frozen_vision=args.freeze_vision_tower,
+    )
+    step = make_dpo_step(cfg, dcfg, tx)
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=128 if not args.synthetic else 32,
+        image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+        compute_diff_mask=args.loss_type == "ddpo",
+    )
+    collator = DPOCollator(processor, ccfg)
+    if args.synthetic:
+        collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
+    batches = batch_iterator(
+        rows, processor.tokenize_row_dpo, collator,
+        args.per_device_train_batch_size, args.num_train_epochs, args.seed,
+    )
+    run_name = args.run_name or "dpo"
+    logger = MetricsLogger(
+        args.output_dir, run_name, tuple(args.report_to.split(","))
+    )
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state = run_training(
+        step, state, params, batches, logger, ckpt,
+        save_steps=args.save_steps, logging_steps=args.logging_steps,
+        max_steps=args.max_steps, batch_sharding=batch_sharding,
+    )
+    ckpt.wait()
+    _finish(args, state, params, lcfg, processor)
+
+
+def cmd_sft(args):
+    from vlrlhf_tpu.data.collators import CollatorConfig, SFTCollator
+    from vlrlhf_tpu.train.checkpoint import CheckpointManager
+    from vlrlhf_tpu.train.loop import batch_iterator, run_training
+    from vlrlhf_tpu.train.metrics import MetricsLogger
+    from vlrlhf_tpu.train.sft import SFTConfig, make_sft_step
+    from vlrlhf_tpu.train.train_state import init_train_state, make_optimizer
+
+    family, cfg, params, processor = _load_bundle(args)
+    rows = _load_rows(args, with_pairs=False)
+    mesh, rules, params, lcfg, adapters, ocfg, batch_sharding = _setup_training(
+        args, cfg, params, family
+    )
+    tx = make_optimizer(ocfg, adapters)
+    state = init_train_state(adapters, tx)
+    step = make_sft_step(cfg, SFTConfig(lora_scale=lcfg.scale), tx)
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=128 if not args.synthetic else 32,
+        image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+    )
+    collator = SFTCollator(processor, ccfg)
+    if args.synthetic:
+        collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
+    batches = batch_iterator(
+        rows, processor.tokenize_row_sft, collator,
+        args.per_device_train_batch_size, args.num_train_epochs, args.seed,
+    )
+    logger = MetricsLogger(args.output_dir, args.run_name or "sft",
+                           tuple(args.report_to.split(",")))
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state = run_training(
+        step, state, params, batches, logger, ckpt,
+        save_steps=args.save_steps, logging_steps=args.logging_steps,
+        max_steps=args.max_steps, batch_sharding=batch_sharding,
+    )
+    ckpt.wait()
+    _finish(args, state, params, lcfg, processor)
+
+
+def cmd_rm(args):
+    from vlrlhf_tpu.data.collators import CollatorConfig, RMCollator
+    from vlrlhf_tpu.models.vlm import init_rm_head
+    from vlrlhf_tpu.train.checkpoint import CheckpointManager
+    from vlrlhf_tpu.train.loop import batch_iterator, run_training
+    from vlrlhf_tpu.train.metrics import MetricsLogger
+    from vlrlhf_tpu.train.rm import RMConfig, make_rm_step
+    from vlrlhf_tpu.train.train_state import init_train_state, make_optimizer
+
+    family, cfg, params, processor = _load_bundle(args)
+    rows = _load_rows(args, with_pairs=True)
+    mesh, rules, params, lcfg, adapters, ocfg, batch_sharding = _setup_training(
+        args, cfg, params, family
+    )
+    trainable = {
+        "adapters": adapters,
+        "rm_head": init_rm_head(cfg.lm.hidden_size, jnp.float32),
+    }
+    tx = make_optimizer(ocfg, trainable)
+    state = init_train_state(trainable, tx)
+    step = make_rm_step(cfg, RMConfig(lora_scale=lcfg.scale), tx)
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=128 if not args.synthetic else 32,
+        image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+    )
+    collator = RMCollator(processor, ccfg)
+    if args.synthetic:
+        collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
+    batches = batch_iterator(
+        rows, processor.tokenize_row_dpo, collator,
+        args.per_device_train_batch_size, args.num_train_epochs, args.seed,
+    )
+    logger = MetricsLogger(args.output_dir, args.run_name or "rm",
+                           tuple(args.report_to.split(",")))
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state = run_training(
+        step, state, params, batches, logger, ckpt,
+        save_steps=args.save_steps, logging_steps=args.logging_steps,
+        max_steps=args.max_steps, batch_sharding=batch_sharding,
+    )
+    ckpt.wait()
+    _finish(args, state, params, lcfg, processor)
+
+
+def cmd_ppo(args):
+    from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+    from vlrlhf_tpu.train.metrics import MetricsLogger
+    from vlrlhf_tpu.train.ppo import (
+        AdaptiveKLController,
+        PPOConfig,
+        make_ppo_fns,
+        rollout_to_batch,
+    )
+    from vlrlhf_tpu.train.train_state import init_train_state, make_optimizer
+
+    family, cfg, params, processor = _load_bundle(args)
+    rows = _load_rows(args, with_pairs=False)
+    mesh, rules, params, lcfg, adapters, ocfg, batch_sharding = _setup_training(
+        args, cfg, params, family
+    )
+    trainable = {
+        "adapters": adapters,
+        "v_head": {"kernel": jnp.zeros((cfg.lm.hidden_size, 1))},
+    }
+    tx = make_optimizer(ocfg, trainable)
+    state = init_train_state(trainable, tx)
+    ppo_cfg = PPOConfig(lora_scale=lcfg.scale, init_kl_coef=args.init_kl_coef)
+    stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
+    kl_ctl = AdaptiveKLController(ppo_cfg)
+
+    # Reward model: trained RM adapters+head from --reward_model_path, or a
+    # synthetic length-penalty reward in smoke mode.
+    if args.synthetic:
+        def reward_fn(batch):
+            m = batch["response_mask"]
+            return jnp.asarray(m.sum(1) / max(m.shape[1], 1), jnp.float32)
+    else:
+        from vlrlhf_tpu.train.checkpoint import load_params
+        from vlrlhf_tpu.train.rm import rm_scores
+        from vlrlhf_tpu.models.common import Ctx
+
+        rm_trainable = load_params(args.reward_model_path)
+
+        def reward_fn(batch):
+            rm_batch = {
+                "input_ids": batch["input_ids"],
+                "pad_mask": batch["pad_mask"],
+                "pixel_values": batch.get("pixel_values"),
+                "image_positions": batch.get("image_positions"),
+            }
+            ctx = Ctx(adapters=rm_trainable["adapters"], lora_scale=lcfg.scale)
+            return rm_scores(cfg, params, rm_trainable["rm_head"], rm_batch, ctx)
+
+    from vlrlhf_tpu.data.collators import CollatorConfig, GenerationCollator
+
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=32 if args.synthetic else 128,
+        image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+    )
+    gen_collator = GenerationCollator(processor, ccfg)
+    if args.synthetic:
+        gen_collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
+
+    logger = MetricsLogger(args.output_dir, args.run_name or "ppo",
+                           tuple(args.report_to.split(",")))
+    rng = jax.random.PRNGKey(args.seed)
+    pad_id = processor.tokenizer.pad_token_id or 0
+    bs = args.per_device_train_batch_size
+    n_steps = args.max_steps or max(len(rows) // bs, 1)
+    from vlrlhf_tpu.data.processor import make_single_turn_conv
+
+    for it in range(n_steps):
+        chunk = rows[(it * bs) % len(rows) : (it * bs) % len(rows) + bs]
+        if len(chunk) < bs:
+            chunk = (chunk + rows)[:bs]
+        prompt_rows = []
+        for r in chunk:
+            n_img = 1 if r.get("img_path") else 0
+            conv = make_single_turn_conv(
+                processor.format_multimodal_prompt(r["prompt"], n_img), ""
+            )
+            prompt_rows.append(
+                {"input_ids": processor.process_conv(conv)["input_ids"],
+                 "img_path": r.get("img_path")}
+            )
+        pb = gen_collator(prompt_rows)
+        gen = Generator(
+            cfg,
+            GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=True,
+                           temperature=1.0, pad_token_id=pad_id),
+            adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+        )
+        rng, krng = jax.random.split(rng)
+        tokens = gen(params, pb, rng=krng)
+        batch = rollout_to_batch(pb, tokens, pad_id)
+        scores = reward_fn(batch)
+        stats = stats_fn(params, state.trainable, batch, scores,
+                         jnp.asarray(kl_ctl.value))
+        for _ in range(ppo_cfg.ppo_epochs):
+            state, metrics = update_fn(state, params, batch, stats)
+        kl_ctl.update(float(stats.kl), len(chunk))
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["ppo/mean_score"] = float(jnp.mean(scores))
+        metrics["ppo/kl"] = float(stats.kl)
+        metrics["ppo/kl_coef"] = kl_ctl.value
+        logger.log(it + 1, metrics)
+    _finish(args, state, params, lcfg, processor)
+
+
+def cmd_eval(args):
+    from vlrlhf_tpu.data.collators import CollatorConfig
+    from vlrlhf_tpu.eval.benchmarks import run_benchmark
+    from vlrlhf_tpu.eval.harness import EvalRunner
+    from vlrlhf_tpu.generate.engine import GenerateConfig
+
+    family, cfg, params, processor = _load_bundle(args)
+    stop_ids = tuple(
+        processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
+    ) if family.stop_tokens and not args.synthetic else ()
+    eos = processor.tokenizer.eos_token_id
+    if eos is not None:
+        stop_ids = stop_ids + (eos,)
+    runner = EvalRunner(
+        model_cfg=cfg,
+        params=params,
+        processor=processor,
+        gen_cfg=GenerateConfig(
+            max_new_tokens=args.max_new_tokens,
+            eos_token_ids=stop_ids,
+            pad_token_id=processor.tokenizer.pad_token_id or 0,
+        ),
+        collator_cfg=CollatorConfig(
+            pad_token_id=processor.tokenizer.pad_token_id or 0,
+            bucket_multiple=32 if args.synthetic else 128,
+            image_size=cfg.vision.image_size,
+            resize_mode=family.resize_mode,
+        ),
+    )
+    if args.synthetic:
+        runner.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
+        runner.__post_init__()
+    metrics = run_benchmark(
+        args.benchmark, runner, args.data_file, args.image_root,
+        batch_size=args.per_device_train_batch_size,
+        output_json=os.path.join(args.output_dir, f"{args.benchmark}.json"),
+        sqlite_db=args.sqlite_db, tag=args.tag, progress=True,
+    )
+    print(metrics)
+
+
+def cmd_merge(args):
+    """Merge a LoRA adapter checkpoint into base params (the reference's
+    merge_peft_model.py)."""
+    from vlrlhf_tpu.lora.lora import merge_lora
+    from vlrlhf_tpu.train.checkpoint import load_params, save_params
+
+    family, cfg, params, processor = _load_bundle(args)
+    adapters = load_params(args.adapter_path)
+    if "adapters" in adapters:
+        adapters = adapters["adapters"]
+    merged = merge_lora(params, adapters, args.lora_alpha / args.lora_r)
+    save_params(os.path.join(args.output_dir, "merged"), merged)
+    print(f"merged -> {args.output_dir}/merged")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="vlrlhf")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, fn in [("dpo", cmd_dpo), ("sft", cmd_sft), ("rm", cmd_rm),
+                     ("ppo", cmd_ppo)]:
+        p = sub.add_parser(name)
+        _common_args(p)
+        p.set_defaults(fn=fn)
+        if name == "dpo":
+            p.add_argument("--beta", type=float, default=0.1)
+            p.add_argument("--label_smoothing", type=float, default=0.0)
+            p.add_argument("--loss_type", type=str, default="sigmoid",
+                           choices=["sigmoid", "hinge", "ipo", "kto_pair", "ddpo"])
+        if name == "ppo":
+            p.add_argument("--reward_model_path", type=str, default=None)
+            p.add_argument("--init_kl_coef", type=float, default=0.2)
+            p.add_argument("--max_new_tokens", type=int, default=32)
+
+    p = sub.add_parser("eval")
+    _common_args(p)
+    p.add_argument("--benchmark", type=str, required=True)
+    p.add_argument("--data_file", type=str, required=True)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--sqlite_db", type=str, default=None)
+    p.add_argument("--tag", type=str, default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("merge")
+    _common_args(p)
+    p.add_argument("--adapter_path", type=str, required=True)
+    p.set_defaults(fn=cmd_merge)
+    return parser
+
+
+def main(argv: Optional[list[str]] = None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

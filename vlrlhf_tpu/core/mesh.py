@@ -47,10 +47,11 @@ class MeshConfig:
                     f"{n_devices} devices not divisible by fixed axes product {fixed}"
                 )
             sizes = [n_devices // fixed if s == -1 else s for s in sizes]
-        elif fixed != n_devices:
+        elif fixed > n_devices:
             raise ValueError(
                 f"Mesh {sizes} needs {fixed} devices but {n_devices} are available"
             )
+        # fixed < n_devices: use the first `fixed` devices (handled by caller)
         return tuple(sizes)
 
 
@@ -66,6 +67,7 @@ def make_mesh(
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     shape = config.resolve(len(devices))
+    devices = devices[: math.prod(shape)]
     try:
         dev_mesh = mesh_utils.create_device_mesh(shape, devices=devices)
     except (ValueError, AssertionError):

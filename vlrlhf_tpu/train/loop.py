@@ -1,0 +1,107 @@
+"""Generic training loop driver.
+
+Replaces the HF Trainer loop the reference inherits (SURVEY.md §3.1): python
+drives data -> collate -> device step; everything heavy is inside the jitted
+step. The collator runs for the NEXT batch while the device executes the
+current one (dispatch is async), giving host/device overlap without a
+separate prefetch thread; a background-thread loader can be swapped in via
+`iterator_factory`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+PyTree = Any
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    num_epochs: float = 1.0
+    max_steps: int = 0  # 0 = derive from epochs
+    per_device_batch_size: int = 4
+    global_batch_size: int = 0  # 0 = per_device * n_devices (data-parallel)
+    logging_steps: int = 10
+    save_steps: int = 500
+    seed: int = 42
+    shuffle: bool = True
+    drop_last: bool = True
+
+
+def batch_iterator(
+    rows: Sequence[dict],
+    tokenize_fn: Callable[[dict], dict],
+    collate_fn: Callable[[list[dict]], dict],
+    batch_size: int,
+    num_epochs: float,
+    seed: int = 42,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterable[dict]:
+    """Tokenize lazily per batch (the reference pre-tokenizes the whole
+    dataset with dataset.map; lazy keeps startup instant and memory flat)."""
+    n = len(rows)
+    epoch = 0
+    emitted_epochs = 0.0
+    rng = np.random.default_rng(seed)
+    while emitted_epochs < num_epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size and drop_last:
+                continue
+            yield collate_fn([tokenize_fn(rows[int(i)]) for i in idx])
+            emitted_epochs += batch_size / n
+            if emitted_epochs >= num_epochs:
+                return
+        epoch += 1
+
+
+def run_training(
+    step_fn: Callable,  # (state, base_params, batch) -> (state, metrics)
+    state: PyTree,
+    base_params: PyTree,
+    batches: Iterable[dict],
+    logger=None,
+    checkpoint_manager=None,
+    save_steps: int = 500,
+    logging_steps: int = 10,
+    max_steps: int = 0,
+    batch_sharding=None,
+    start_step: int = 0,
+    on_step: Optional[Callable[[int, dict], None]] = None,
+) -> PyTree:
+    """Drive the jitted step over batches; returns the final state."""
+    step_idx = start_step
+    pending_metrics = None
+    for batch in batches:
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, batch_sharding), batch
+            )
+        state, metrics = step_fn(state, base_params, batch)
+        step_idx += 1
+        if logger is not None and step_idx % logging_steps == 0:
+            # one host sync per logging interval, not per step
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            logger.log(step_idx, host_metrics)
+        if on_step is not None:
+            on_step(step_idx, metrics)
+        if checkpoint_manager is not None and step_idx % save_steps == 0:
+            checkpoint_manager.save(
+                step_idx,
+                {
+                    "trainable": state.trainable,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                },
+            )
+        if max_steps and step_idx >= max_steps:
+            break
+        pending_metrics = metrics
+    del pending_metrics
+    return state
