@@ -239,3 +239,29 @@ def test_sft_collator():
     assert (batch["labels"][~batch["pad_mask"]] == LABEL_PAD).all()
     # answers labeled
     assert (batch["labels"] != LABEL_PAD).sum() >= 4
+
+
+def test_chatml_dpo_tokenize_row():
+    """Qwen ChatML path: prompt from the system+user turns, answers carry
+    im_start/.../im_end labels, EOS appended (QwenVL tokenize_row parity)."""
+    p = make_processor(template="qwen_vl")
+    row = p.tokenize_row_dpo(
+        {"prompt": "what is it", "chosen": "a dog", "rejected": "a cat"}
+    )
+    tok = p.tokenizer
+    im_start = tok.convert_token_to_id("<|im_start|>")
+    for side in ("chosen", "rejected"):
+        ids, labels = row[f"{side}_input_ids"], row[f"{side}_labels"]
+        assert len(ids) == len(labels)
+        assert ids[-1] == tok.eos_token_id and labels[-1] == tok.eos_token_id
+        # prompt region fully masked
+        np_prompt = len(row["prompt_input_ids"])
+        assert all(l == LABEL_PAD for l in labels[:np_prompt])
+        # answer starts with im_start, which is itself labeled (ChatML quirk)
+        assert ids[np_prompt] == im_start and labels[np_prompt] == im_start
+    # ChatML raw string starts with the system block
+    out = p.process_conv(
+        make_single_turn_conv("hi", "yo")
+    )
+    assert out["raw_str"].startswith("<|im_start|>system\n")
+    assert len(out["input_ids"]) == len(out["labels"])

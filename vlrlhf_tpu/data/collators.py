@@ -63,6 +63,11 @@ class CollatorConfig:
     # DDPO: precompute diff masks.
     compute_diff_mask: bool = False
     diff_min_match_size: int = 3
+    # LLaVA-Next anyres: variable patch grids + gather-map packing
+    # (models/anyres.py). tile_grid = vision feature grid per tile.
+    anyres: bool = False
+    grid_pinpoints: tuple = ()
+    tile_grid: int = 24
 
 
 class _CollatorBase:
@@ -90,6 +95,47 @@ class _CollatorBase:
                 out[i, j] = self.image_loader(p, s, self.cfg.resize_mode)
         return out
 
+    def _anyres_meta(self, img_paths: Sequence):
+        """Per-row anyres plan + tiles. Rows without an image get count 0."""
+        from vlrlhf_tpu.models.anyres import (
+            DEFAULT_GRID_PINPOINTS,
+            PAD_IDX,
+            anyres_plan,
+            load_anyres_tiles,
+        )
+
+        pinpoints = self.cfg.grid_pinpoints or DEFAULT_GRID_PINPOINTS
+        plans, tiles = [], []
+        for paths in img_paths:
+            path = paths[0] if isinstance(paths, list) else paths
+            if path is None:
+                plans.append(None)
+                tiles.append(None)
+                continue
+            from PIL import Image
+
+            with Image.open(path) as im:
+                w, h = im.size
+            plan = anyres_plan(
+                (h, w), pinpoints, self.cfg.image_size, self.cfg.tile_grid
+            )
+            plans.append(plan)
+            tiles.append(load_anyres_tiles(path, plan, self.cfg.image_size))
+        max_tiles = max((p["n_tiles"] for p in plans if p), default=1)
+        max_tok = max((p["n_tokens"] for p in plans if p), default=1)
+        s = self.cfg.image_size
+        pixel = np.zeros((len(img_paths), max_tiles, s, s, 3), np.uint8)
+        gather = np.full((len(img_paths), max_tok), PAD_IDX, np.int32)
+        counts = []
+        for i, (plan, t) in enumerate(zip(plans, tiles)):
+            if plan is None:
+                counts.append([])
+                continue
+            pixel[i, : plan["n_tiles"]] = t
+            gather[i, : plan["n_tokens"]] = plan["gather"]
+            counts.append([plan["n_tokens"]])
+        return pixel, gather, counts
+
     def _pad_rows(
         self,
         rows: list[np.ndarray],
@@ -111,11 +157,21 @@ class DPOCollator(_CollatorBase):
         n_img_tok = self.processor.cfg.num_image_tokens
         exp = self.processor.expand_image_tokens
 
+        anyres_meta = None
+        counts = [None] * len(rows)
+        if cfg.anyres:
+            pixel, gather, counts = self._anyres_meta(
+                [r.get("img_path") for r in rows]
+            )
+            anyres_meta = (pixel, gather)
+
         chosen, rejected = [], []
-        for row in rows:
-            c_ids, c_lab, c_pos = exp(row["chosen_input_ids"], row["chosen_labels"])
+        for row, cnt in zip(rows, counts):
+            c_ids, c_lab, c_pos = exp(
+                row["chosen_input_ids"], row["chosen_labels"], cnt
+            )
             r_ids, r_lab, r_pos = exp(
-                row["rejected_input_ids"], row["rejected_labels"]
+                row["rejected_input_ids"], row["rejected_labels"], cnt
             )
             chosen.append((c_ids, c_lab, c_pos))
             rejected.append((r_ids, r_lab, r_pos))
@@ -131,7 +187,11 @@ class DPOCollator(_CollatorBase):
             [np.ones(len(x[0]), np.int32) for x in all_rows], 0, L
         ).astype(bool)
 
-        n_pos = cfg.max_images * n_img_tok
+        n_pos = (
+            anyres_meta[1].shape[1]
+            if anyres_meta is not None
+            else cfg.max_images * n_img_tok
+        )
         img_pos = np.full((len(all_rows), n_pos), -1, np.int32)
         for i, (_, _, pos) in enumerate(all_rows):
             img_pos[i, : len(pos)] = pos
@@ -141,8 +201,14 @@ class DPOCollator(_CollatorBase):
             "labels": labels,
             "pad_mask": pad_mask,
             "image_positions": img_pos,
-            "pixel_values": self._load_images([r.get("img_path") for r in rows]),
         }
+        if anyres_meta is not None:
+            batch["pixel_values"] = anyres_meta[0]
+            batch["anyres_gather"] = anyres_meta[1]
+        else:
+            batch["pixel_values"] = self._load_images(
+                [r.get("img_path") for r in rows]
+            )
         if cfg.compute_diff_mask:
             n = len(rows)
             masks = np.zeros((2 * n, L), bool)

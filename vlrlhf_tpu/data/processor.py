@@ -126,6 +126,9 @@ class VLProcessor:
         im_end = tok.convert_token_to_id("<|im_end|>")
         nl = tok.encode("\n")
         system_msg = self.template.system_message
+        # Label arithmetic is structural (pad everything between im_start and
+        # im_end) — identical to the reference's len-3 form when "\n" is one
+        # token (Qwen's tiktoken), robust for other tokenizers.
         system = (
             [im_start]
             + tok.encode("system")
@@ -135,7 +138,12 @@ class VLProcessor:
             + nl
         )
         input_ids = list(system)
-        labels = [im_start] + [LABEL_PAD] * (len(system) - 3) + [im_end] + nl
+        labels = (
+            [im_start]
+            + [LABEL_PAD] * (len(system) - 2 - len(nl))
+            + [im_end]
+            + nl
+        )
         raw = f"<|im_start|>system\n{system_msg}<|im_end|>\n"
         prompt_ids: list[int] = []
         answer_ids: list[int] = []
@@ -154,24 +162,29 @@ class VLProcessor:
                 if value != "" or add_end_for_empty_value:
                     turn_labels = (
                         [im_start]
-                        + [LABEL_PAD] * (len(turn_ids) - 3)
+                        + [LABEL_PAD] * (len(turn_ids) - 2 - len(nl))
                         + [im_end]
                         + nl
                     )
                 else:
-                    turn_labels = [im_start] + [LABEL_PAD]
+                    turn_labels = [im_start] + [LABEL_PAD] * (
+                        len(turn_ids) - 1
+                    )
                 prompt_ids = list(input_ids)
             else:
                 if value != "" or add_end_for_empty_value:
+                    value_ids = turn_ids[len(role_ids) + len(nl) : -(1 + len(nl))]
                     turn_labels = (
                         [im_start]
-                        + [LABEL_PAD] * len(role_ids)
-                        + turn_ids[len(role_ids) + 1 : -2]
+                        + [LABEL_PAD] * (len(role_ids) - 1 + len(nl))
+                        + value_ids
                         + [im_end]
                         + nl
                     )
                 else:
-                    turn_labels = [im_start] + [LABEL_PAD] * len(role_ids)
+                    turn_labels = [im_start] + [LABEL_PAD] * (
+                        len(turn_ids) - 1
+                    )
                 answer_ids += turn_ids
                 answer_labels += turn_labels
             labels += turn_labels
@@ -211,6 +224,8 @@ class VLProcessor:
                 if isinstance(feature["img_path"], list)
                 else 1
             )
+        if self.template.style == "chatml":
+            return self._tokenize_row_dpo_chatml(feature, n_images)
         prompt_raw = self.process_conv(
             make_single_turn_conv(
                 self.format_multimodal_prompt(feature["prompt"], n_images), ""
@@ -267,6 +282,47 @@ class VLProcessor:
             "img_path": feature.get("img_path"),
         }
 
+    def _tokenize_row_dpo_chatml(self, feature: dict, n_images: int) -> dict:
+        """Qwen ChatML DPO row (QwenVLDPOTrainer.tokenize_row,
+        /root/reference/src/vlrlhf/models/QwenVL/__init__.py:257-347):
+        prompt/answer token streams come from the ChatML builder (labels
+        already set), EOS appended to answers, TRL-style truncation."""
+        cfg = self.cfg
+        eos = self.tokenizer.eos_token_id
+        prompt = self.format_multimodal_prompt(feature["prompt"], n_images)
+        chosen_c = self.process_conv(
+            make_single_turn_conv(prompt, feature["chosen"])
+        )
+        rejected_c = self.process_conv(
+            make_single_turn_conv(prompt, feature["rejected"])
+        )
+        prompt_ids = list(chosen_c["prompt_ids"])
+        chosen_ans = list(chosen_c["answer_ids"]) + [eos]
+        chosen_lab = list(chosen_c["answer_labels"]) + [eos]
+        rejected_ans = list(rejected_c["answer_ids"]) + [eos]
+        rejected_lab = list(rejected_c["answer_labels"]) + [eos]
+
+        longer = max(len(chosen_ans), len(rejected_ans))
+        if len(prompt_ids) + longer > cfg.max_length:
+            if cfg.truncation_mode == "keep_start":
+                prompt_ids = prompt_ids[: cfg.max_prompt_length]
+            else:
+                prompt_ids = prompt_ids[-cfg.max_prompt_length :]
+        if len(prompt_ids) + longer > cfg.max_length:
+            cut = cfg.max_length - cfg.max_prompt_length
+            chosen_ans, chosen_lab = chosen_ans[:cut], chosen_lab[:cut]
+            rejected_ans, rejected_lab = rejected_ans[:cut], rejected_lab[:cut]
+
+        prompt_pad = [LABEL_PAD] * len(prompt_ids)
+        return {
+            "chosen_input_ids": prompt_ids + chosen_ans,
+            "chosen_labels": prompt_pad + chosen_lab,
+            "rejected_input_ids": prompt_ids + rejected_ans,
+            "rejected_labels": prompt_pad + rejected_lab,
+            "prompt_input_ids": prompt_ids,
+            "img_path": feature.get("img_path"),
+        }
+
     # ─────────── SFT row tokenization ───────────
 
     def tokenize_row_sft(self, feature: dict) -> dict:
@@ -303,14 +359,15 @@ class VLProcessor:
         self,
         input_ids: Sequence[int],
         labels: Optional[Sequence[int]] = None,
+        counts: Optional[Sequence[int]] = None,  # anyres: per-image counts
     ) -> tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
-        """Expand each image placeholder id into num_image_tokens copies.
+        """Expand each image placeholder id into num_image_tokens copies
+        (or `counts[i]` copies for anyres variable-size images).
 
         Returns (new_ids, new_labels, image_positions) where image_positions
-        has one entry per expanded image token (len = n_images * n_tokens).
+        has one entry per expanded image token.
         """
         ids = np.asarray(input_ids)
-        n_tok = self.cfg.num_image_tokens
         img_id = self.cfg.image_token_id
         occ = np.nonzero(ids == img_id)[0]
         if len(occ) == 0:
@@ -319,7 +376,10 @@ class VLProcessor:
         wrapped = self.cfg.image_start_id is not None
         out_ids, out_labels, positions = [], [], []
         prev = 0
-        for o in occ:
+        for j, o in enumerate(occ):
+            n_tok = (
+                int(counts[j]) if counts is not None else self.cfg.num_image_tokens
+            )
             out_ids.extend(ids[prev:o].tolist())
             if labels is not None:
                 out_labels.extend(list(labels[prev:o]))

@@ -69,7 +69,12 @@ class ToyTokenizer:
         self.bos_token_id = 1
         self.eos_token_id = 2
         self.pad_token_id = 0
-        self._specials = {"<image>": 3, "<unk>": 4}
+        self._specials = {
+            "<image>": 3,
+            "<unk>": 4,
+            "<|im_start|>": 5,
+            "<|im_end|>": 6,
+        }
         if specials:
             self._specials.update(specials)
         self._n_reserved = 16

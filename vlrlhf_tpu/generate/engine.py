@@ -55,6 +55,7 @@ def _generate_impl(
     prompt_lens: jax.Array,  # (B,)
     pixel_values: Optional[jax.Array],
     image_positions: Optional[jax.Array],
+    anyres_gather: Optional[jax.Array],
     rng: jax.Array,
     adapters: Optional[PyTree],
     lora_scale: float,
@@ -76,6 +77,7 @@ def _generate_impl(
         input_ids=input_ids,
         pixel_values=pixel_values,
         image_positions=image_positions,
+        anyres_gather=anyres_gather,
         pad_mask=pad_mask,
         positions=positions,
         ctx=ctx,
@@ -207,6 +209,9 @@ class Generator:
             None
             if batch.get("image_positions") is None
             else jnp.asarray(batch["image_positions"]),
+            None
+            if batch.get("anyres_gather") is None
+            else jnp.asarray(batch["anyres_gather"]),
             rng,
             self.adapters,
             self.lora_scale,

@@ -168,6 +168,7 @@ def vlm_forward(
     image_features: Optional[jax.Array] = None,  # precomputed (skip tower)
     qformer_ids: Optional[jax.Array] = None,
     qformer_mask: Optional[jax.Array] = None,
+    anyres_gather: Optional[jax.Array] = None,  # (B, n_tok) llava-next map
     return_logits: bool = True,
     return_hidden: bool = False,
 ):
@@ -181,9 +182,21 @@ def vlm_forward(
         image_features = encode_images(
             cfg, params, flat, ctx, qformer_ids, qformer_mask
         )
-        image_features = image_features.reshape(
-            b, n_img * cfg.num_image_tokens, -1
-        )
+        if anyres_gather is not None:
+            # LLaVA-Next anyres: per-row static gather over tile features +
+            # learned image_newline rows (models/anyres.py).
+            from vlrlhf_tpu.models.anyres import gather_anyres_features
+
+            d = image_features.shape[-1]
+            tiled = image_features.reshape(b, -1, d)
+            newline = params["image_newline"]["embedding"]
+            image_features = jax.vmap(
+                lambda f, g: gather_anyres_features(f, g, newline)
+            )(tiled, anyres_gather)
+        else:
+            image_features = image_features.reshape(
+                b, n_img * cfg.num_image_tokens, -1
+            )
 
     if image_features is not None:
         assert image_positions is not None

@@ -67,6 +67,7 @@ def _forward_logps(
         pixel_values=None if image_features is not None else batch.get("pixel_values"),
         image_features=image_features,
         image_positions=batch.get("image_positions"),
+        anyres_gather=None if image_features is not None else batch.get("anyres_gather"),
         pad_mask=batch["pad_mask"],
         ctx=ctx,
     )
@@ -94,12 +95,21 @@ def dpo_step_fn(
     # Shared image features (frozen tower): (B_pairs, N, D) -> tiled to 2B.
     image_features = None
     if dpo_cfg.frozen_vision and batch.get("pixel_values") is not None:
-        pv = batch["pixel_values"]  # (B_pairs, n_img, H, W, 3)
+        pv = batch["pixel_values"]  # (B_pairs, n_img|n_tiles, H, W, 3)
         b, n_img = pv.shape[:2]
         feats = encode_images(
             model_cfg, base_params, pv.reshape(b * n_img, *pv.shape[2:])
         )
-        feats = feats.reshape(b, n_img * model_cfg.num_image_tokens, -1)
+        if batch.get("anyres_gather") is not None:
+            from vlrlhf_tpu.models.anyres import gather_anyres_features
+
+            d = feats.shape[-1]
+            newline = base_params["image_newline"]["embedding"]
+            feats = jax.vmap(
+                lambda f, g: gather_anyres_features(f, g, newline)
+            )(feats.reshape(b, -1, d), batch["anyres_gather"])
+        else:
+            feats = feats.reshape(b, n_img * model_cfg.num_image_tokens, -1)
         image_features = jnp.concatenate([feats, feats], axis=0)
         image_features = jax.lax.stop_gradient(image_features)
 

@@ -49,6 +49,7 @@ def sft_step_fn(
             input_ids=batch["input_ids"],
             pixel_values=batch.get("pixel_values"),
             image_positions=batch.get("image_positions"),
+            anyres_gather=batch.get("anyres_gather"),
             pad_mask=batch["pad_mask"],
             ctx=ctx,
         )

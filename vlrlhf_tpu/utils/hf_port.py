@@ -312,6 +312,8 @@ def _normalize_llava_keys(sd: StateDict) -> StateDict:
             k = "language_model.model." + k[len("model.language_model.") :]
         elif k == "lm_head.weight":
             k = "language_model.lm_head.weight"
+        elif k == "model.image_newline":
+            k = "image_newline"
         elif k.startswith("model."):
             k = k[len("model.") :]
         out[k] = v
@@ -319,14 +321,15 @@ def _normalize_llava_keys(sd: StateDict) -> StateDict:
 
 
 def port_llava(sd: StateDict, cfg: VLMConfig) -> PyTree:
-    """HF LlavaForConditionalGeneration / LlavaNextForConditionalGeneration."""
+    """HF LlavaForConditionalGeneration / LlavaNextForConditionalGeneration
+    (the latter additionally carries image_newline for anyres packing)."""
     sd = _normalize_llava_keys(sd)
     lm = port_llama_lm(sd, cfg.lm.num_layers, "language_model.model")
     if "lm_head" not in lm:
         lm["lm_head"] = {
             "kernel": jnp.asarray(_t(sd["language_model.lm_head.weight"]))
         }
-    return {
+    out = {
         "vision": port_clip_vit(
             sd, cfg.vision.num_layers, "vision_tower.vision_model"
         ),
@@ -336,6 +339,11 @@ def port_llava(sd: StateDict, cfg: VLMConfig) -> PyTree:
         },
         "lm": lm,
     }
+    if "image_newline" in sd:
+        out["image_newline"] = {
+            "embedding": jnp.asarray(np.asarray(sd["image_newline"]))
+        }
+    return out
 
 
 def port_qwen_vl(sd: StateDict, cfg: VLMConfig) -> PyTree:
