@@ -1,0 +1,86 @@
+"""Multi-host distribution utilities.
+
+Replaces the reference's accelerate process-group bootstrap and its host-level
+collectives (SURVEY.md §2.4):
+  accelerate launch spawn        -> jax.distributed.initialize (one process
+                                    per host; libtpu owns ICI/DCN transport)
+  gather_object / gather_for_metrics
+  (base/trainer.py:479, eval/utils.py:76) -> process_allgather
+  PartialState().local_main_process_first()
+  (utils/data.py:74)             -> main_process_first context
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-ops on single-host (TPU metadata supplies
+    everything on Cloud TPU pods; explicit args support manual clusters)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    env_addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if env_addr is None and num_processes is None:
+        return  # single host
+    jax.distributed.initialize(
+        coordinator_address=env_addr,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def process_allgather(x: Any) -> Any:
+    """Host-level allgather (eval results, skip-batch consensus)."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(x)
+
+
+def sync_global_devices(name: str = "barrier") -> None:
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+@contextlib.contextmanager
+def main_process_first(name: str = "main_first"):
+    """Rank-0 runs the body first (dataset cache builds), others wait —
+    the reference's local_main_process_first barrier."""
+    if is_main_process():
+        yield
+        sync_global_devices(f"{name}_done")
+    else:
+        sync_global_devices(f"{name}_done")
+        yield
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: Optional[str], enabled: bool = True):
+    """jax.profiler trace scope — per-step tokens/sec + MFU live in
+    train/metrics.py; this captures full XLA traces for deep dives
+    (tensorboard-plugin-profile reads log_dir)."""
+    if not enabled or not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -52,6 +52,9 @@ class LMConfig:
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     remat: bool = True
+    # 'full' recomputes everything; 'dots' saves matmul outputs (less
+    # recompute, more HBM) — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    remat_policy: str = "full"
 
     @property
     def head_dim_(self) -> int:
@@ -225,7 +228,10 @@ def lm_forward(
         return x, new_kv
 
     if cfg.remat and cache is None:
-        body = jax.checkpoint(body, prevent_cse=False)
+        policy = None
+        if cfg.remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     xs = (
         params["layers_scanned"],

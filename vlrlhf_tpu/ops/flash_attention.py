@@ -497,8 +497,8 @@ def flash_attention(
     segment_ids_q: Optional[jax.Array] = None,  # (B, Sq) int
     segment_ids_kv: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 512,
+    block_kv: int = 512,
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) inputs; returns (B, Sq, H, D).
 

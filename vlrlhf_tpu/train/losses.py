@@ -37,15 +37,17 @@ def batch_logps(
 ) -> jax.Array:
     """Sum (or mean) log p(label) over labeled positions. (B,)"""
     # Shift: logits at t predict labels at t+1.
-    logits = logits[:, :-1].astype(jnp.float32)
+    logits = logits[:, :-1]
     labels = labels[:, 1:]
     mask = labels != LABEL_PAD
     if loss_mask is not None:
         mask = mask & loss_mask[:, 1:].astype(bool)
     safe_labels = jnp.where(mask, labels, 0)
-    logps = jax.nn.log_softmax(logits, axis=-1)
-    per_token = jnp.take_along_axis(logps, safe_labels[..., None], axis=-1)[..., 0]
-    per_token = per_token * mask
+    # gather - logsumexp instead of materializing a (B,S,V) f32 log_softmax:
+    # the f32 cast fuses into the reduction, halving logits HBM traffic.
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    tok = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    per_token = (tok.astype(jnp.float32) - lse) * mask
     if average_log_prob:
         return per_token.sum(-1) / jnp.maximum(mask.sum(-1), 1)
     return per_token.sum(-1)
