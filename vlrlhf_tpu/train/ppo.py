@@ -80,7 +80,13 @@ def _token_logprobs(logits, ids):
     return jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
 
 
-def _forward_with_values(model_cfg, params, v_head, batch, ctx):
+def _forward_with_values(
+    model_cfg, params, v_head, batch, ctx, value_ctx=None
+):
+    """Policy logits + values. With a separate value-adapter set (the
+    reference's use_value_adapter, base/model.py:72-100 + ppo.py:151-170),
+    values come from a second trunk pass under `value_ctx`; otherwise the
+    value head rides the policy trunk."""
     (logits, hidden), _ = vlm_forward(
         model_cfg,
         params,
@@ -92,6 +98,18 @@ def _forward_with_values(model_cfg, params, v_head, batch, ctx):
         return_logits=True,
         return_hidden=True,
     )
+    if value_ctx is not None:
+        (_, hidden), _ = vlm_forward(
+            model_cfg,
+            params,
+            input_ids=batch["input_ids"],
+            pixel_values=batch.get("pixel_values"),
+            image_positions=batch.get("image_positions"),
+            pad_mask=batch["pad_mask"],
+            ctx=value_ctx,
+            return_logits=True,
+            return_hidden=True,
+        )
     values = (
         hidden.astype(jnp.float32) @ v_head["kernel"].astype(jnp.float32)
     )[..., 0]
@@ -110,8 +128,13 @@ def compute_rollout_stats(
     kl_coef: jax.Array,  # scalar
 ) -> RolloutStats:
     ctx = Ctx(adapters=trainable["adapters"], lora_scale=ppo_cfg.lora_scale)
+    value_ctx = None
+    if "value_adapters" in trainable:
+        value_ctx = Ctx(
+            adapters=trainable["value_adapters"], lora_scale=ppo_cfg.lora_scale
+        )
     logits, values = _forward_with_values(
-        model_cfg, params, trainable["v_head"], batch, ctx
+        model_cfg, params, trainable["v_head"], batch, ctx, value_ctx
     )
     ref_logits, _ = vlm_forward(
         model_cfg,
@@ -186,8 +209,14 @@ def ppo_update_fn(
 
     def loss_fn(trainable):
         ctx = Ctx(adapters=trainable["adapters"], lora_scale=ppo_cfg.lora_scale)
+        value_ctx = None
+        if "value_adapters" in trainable:
+            value_ctx = Ctx(
+                adapters=trainable["value_adapters"],
+                lora_scale=ppo_cfg.lora_scale,
+            )
         logits, values = _forward_with_values(
-            model_cfg, base_params, trainable["v_head"], batch, ctx
+            model_cfg, base_params, trainable["v_head"], batch, ctx, value_ctx
         )
         new_logprobs = _token_logprobs(logits, batch["input_ids"])
         mask = stats.response_mask
