@@ -265,3 +265,29 @@ def test_chatml_dpo_tokenize_row():
     )
     assert out["raw_str"].startswith("<|im_start|>system\n")
     assert len(out["input_ids"]) == len(out["labels"])
+
+
+def test_qformer_ids_threaded_through():
+    """InstructBLIP: collators ship padded Q-Former instruction ids."""
+    from vlrlhf_tpu.data.chat_templates import TEMPLATES
+    from vlrlhf_tpu.data.processor import ProcessorConfig, VLProcessor
+    from vlrlhf_tpu.data.tokenizer import ToyTokenizer
+
+    tok = ToyTokenizer()
+    qtok = ToyTokenizer(vocab_size=64)
+    p = VLProcessor(
+        tok, TEMPLATES["instructblip"],
+        ProcessorConfig(num_image_tokens=4, image_token="<image>",
+                        image_token_id=3, max_length=64),
+        qformer_tokenizer=qtok,
+    )
+    row = p.tokenize_row_dpo(
+        {"prompt": "what is shown", "chosen": "a cat", "rejected": "a dog",
+         "img_path": "x.jpg"}
+    )
+    assert "qformer_input_ids" in row and len(row["qformer_input_ids"]) > 0
+    ccfg = CollatorConfig(pad_token_id=0, bucket_multiple=16, image_size=16)
+    coll = DPOCollator(p, ccfg, image_loader=fake_image_loader)
+    batch = coll([row, row])
+    assert batch["qformer_input_ids"].shape[0] == 2
+    assert batch["qformer_mask"].shape == batch["qformer_input_ids"].shape

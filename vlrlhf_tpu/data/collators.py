@@ -136,6 +136,19 @@ class _CollatorBase:
             counts.append([plan["n_tokens"]])
         return pixel, gather, counts
 
+    def _qformer_batch(self, rows: list[dict]) -> dict:
+        """Padded Q-Former instruction ids (InstructBLIP)."""
+        if not rows or "qformer_input_ids" not in rows[0]:
+            return {}
+        ids = [np.asarray(r["qformer_input_ids"]) for r in rows]
+        L = max(len(x) for x in ids)
+        out = np.zeros((len(ids), L), np.int32)
+        mask = np.zeros((len(ids), L), bool)
+        for i, x in enumerate(ids):
+            out[i, : len(x)] = x
+            mask[i, : len(x)] = True
+        return {"qformer_input_ids": out, "qformer_mask": mask}
+
     def _pad_rows(
         self,
         rows: list[np.ndarray],
@@ -209,6 +222,7 @@ class DPOCollator(_CollatorBase):
             batch["pixel_values"] = self._load_images(
                 [r.get("img_path") for r in rows]
             )
+        batch.update(self._qformer_batch(rows))
         if cfg.compute_diff_mask:
             n = len(rows)
             masks = np.zeros((2 * n, L), bool)
@@ -238,13 +252,15 @@ class SFTCollator(_CollatorBase):
         img_pos = np.full((len(rows), n_pos), -1, np.int32)
         for i, (_, _, pos) in enumerate(expanded):
             img_pos[i, : len(pos)] = pos
-        return {
+        out = {
             "input_ids": ids,
             "labels": labels,
             "pad_mask": pad_mask,
             "image_positions": img_pos,
             "pixel_values": self._load_images([r.get("img_path") for r in rows]),
         }
+        out.update(self._qformer_batch(rows))
+        return out
 
 
 class RMCollator(DPOCollator):

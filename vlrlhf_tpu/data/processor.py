@@ -60,10 +60,27 @@ def make_single_turn_conv(prompt: str, answer: str = "") -> list[dict]:
 
 
 class VLProcessor:
-    def __init__(self, tokenizer, template: ChatTemplate, cfg: ProcessorConfig):
+    def __init__(
+        self,
+        tokenizer,
+        template: ChatTemplate,
+        cfg: ProcessorConfig,
+        qformer_tokenizer=None,  # InstructBLIP's second tokenizer
+    ):
         self.tokenizer = tokenizer
         self.template = template
         self.cfg = cfg
+        self.qformer_tokenizer = qformer_tokenizer
+
+    def qformer_ids(self, text: str, max_len: int = 512) -> list[int]:
+        """Instruction ids for the Q-Former (the reference clamps to 512,
+        models/InstructBlip/__init__.py:305-322)."""
+        clean = text.replace(self.template.image_placeholder, "").replace(
+            self.cfg.image_token, ""
+        )
+        return self.qformer_tokenizer.encode(clean, add_special_tokens=True)[
+            :max_len
+        ]
 
     # ─────────── prompt formatting ───────────
 
@@ -273,7 +290,7 @@ class VLProcessor:
         rejected_ids = rejected_prompt + rejected_ans
         chosen_labels = [LABEL_PAD] * len(chosen_prompt) + chosen_ans
         rejected_labels = [LABEL_PAD] * len(rejected_prompt) + rejected_ans
-        return {
+        out = {
             "chosen_input_ids": chosen_ids,
             "chosen_labels": chosen_labels,
             "rejected_input_ids": rejected_ids,
@@ -281,6 +298,9 @@ class VLProcessor:
             "prompt_input_ids": rows["prompt"],
             "img_path": feature.get("img_path"),
         }
+        if self.qformer_tokenizer is not None:
+            out["qformer_input_ids"] = self.qformer_ids(feature["prompt"])
+        return out
 
     def _tokenize_row_dpo_chatml(self, feature: dict, n_images: int) -> dict:
         """Qwen ChatML DPO row (QwenVLDPOTrainer.tokenize_row,
@@ -347,11 +367,15 @@ class VLProcessor:
             labels = labels + [self.tokenizer.eos_token_id]
         ids = ids[: self.cfg.max_length]
         labels = labels[: self.cfg.max_length]
-        return {
+        out = {
             "input_ids": ids,
             "labels": labels,
             "img_path": feature.get("img_path"),
         }
+        if self.qformer_tokenizer is not None:
+            src_text = feature.get("prompt") or feature["conversations"][0]["value"]
+            out["qformer_input_ids"] = self.qformer_ids(src_text)
+        return out
 
     # ─────────── image token expansion ───────────
 

@@ -68,6 +68,8 @@ def _forward_logps(
         image_features=image_features,
         image_positions=batch.get("image_positions"),
         anyres_gather=None if image_features is not None else batch.get("anyres_gather"),
+        qformer_ids=None if image_features is not None else batch.get("qformer_input_ids"),
+        qformer_mask=None if image_features is not None else batch.get("qformer_mask"),
         pad_mask=batch["pad_mask"],
         ctx=ctx,
     )
@@ -98,7 +100,11 @@ def dpo_step_fn(
         pv = batch["pixel_values"]  # (B_pairs, n_img|n_tiles, H, W, 3)
         b, n_img = pv.shape[:2]
         feats = encode_images(
-            model_cfg, base_params, pv.reshape(b * n_img, *pv.shape[2:])
+            model_cfg,
+            base_params,
+            pv.reshape(b * n_img, *pv.shape[2:]),
+            qformer_ids=batch.get("qformer_input_ids"),
+            qformer_mask=batch.get("qformer_mask"),
         )
         if batch.get("anyres_gather") is not None:
             from vlrlhf_tpu.models.anyres import gather_anyres_features

@@ -50,6 +50,8 @@ def sft_step_fn(
             pixel_values=batch.get("pixel_values"),
             image_positions=batch.get("image_positions"),
             anyres_gather=batch.get("anyres_gather"),
+            qformer_ids=batch.get("qformer_input_ids"),
+            qformer_mask=batch.get("qformer_mask"),
             pad_mask=batch["pad_mask"],
             ctx=ctx,
         )
