@@ -70,6 +70,38 @@ def f_def(name: str, value: Any) -> str:
     return f'"{name}" {kind}'
 
 
+def log_metrics_to_mysql(
+    host: str,
+    port: int,
+    user: str,
+    password: str,
+    db: str,
+    table: str,
+    metrics: dict[str, Any],
+    tag: str | None = None,
+) -> None:
+    """Optional MySQL sink with the reference's exact insert convention
+    (eval/utils.py:181-216); requires pymysql (not a hard dependency)."""
+    import pymysql  # noqa: F401 — optional
+
+    row = {"tag": tag or ""}
+    row.update({k.replace("-", "_"): v for k, v in metrics.items()})
+    conn = pymysql.connect(
+        host=host, port=port, user=user, password=password, database=db
+    )
+    try:
+        with conn.cursor() as cur:
+            cols = ", ".join(f"`{k}`" for k in row)
+            ph = ", ".join(["%s"] * len(row))
+            cur.execute(
+                f"INSERT INTO `{table}` ({cols}) VALUES ({ph})",
+                list(row.values()),
+            )
+        conn.commit()
+    finally:
+        conn.close()
+
+
 def read_sqlite(db_path: str, table: str) -> list[dict]:
     conn = sqlite3.connect(db_path)
     conn.row_factory = sqlite3.Row

@@ -119,12 +119,21 @@ def dpo_step_fn(
         image_features = jnp.concatenate([feats, feats], axis=0)
         image_features = jax.lax.stop_gradient(image_features)
 
-    # Reference forward: adapters OFF == frozen base policy.
-    ref_logps, _ = _forward_logps(
-        model_cfg, base_params, batch, Ctx(), dpo_cfg, image_features
-    )
-    ref_logps = jax.lax.stop_gradient(ref_logps)
-    ref_chosen, ref_rejected = ref_logps[:n_pairs], ref_logps[n_pairs:]
+    # Reference forward: adapters OFF == frozen base policy. Skipped entirely
+    # when reference_free (or when the batch carries precomputed ref logps —
+    # TRL's precompute_ref_log_probs equivalent).
+    if dpo_cfg.reference_free:
+        zeros = jnp.zeros((n_pairs,), jnp.float32)
+        ref_chosen, ref_rejected = zeros, zeros
+    elif batch.get("ref_chosen_logps") is not None:
+        ref_chosen = batch["ref_chosen_logps"]
+        ref_rejected = batch["ref_rejected_logps"]
+    else:
+        ref_logps, _ = _forward_logps(
+            model_cfg, base_params, batch, Ctx(), dpo_cfg, image_features
+        )
+        ref_logps = jax.lax.stop_gradient(ref_logps)
+        ref_chosen, ref_rejected = ref_logps[:n_pairs], ref_logps[n_pairs:]
 
     def loss_fn(trainable):
         ctx = Ctx(adapters=trainable, lora_scale=dpo_cfg.lora_scale)
