@@ -217,3 +217,21 @@ def test_sqlite_schema_evolution(tmp_path):
     log_metrics_to_sqlite(db, "T", {"acc": 2.0, "f1": 3.0}, tag="b")
     rows = read_sqlite(db, "T")
     assert len(rows) == 2 and rows[1]["f1"] == 3.0
+
+
+def test_run_benchmark_seedbench_gen(tmp_path, runner):
+    data = {
+        "questions": [
+            {
+                "question_id": "q1", "question": "what is shown?",
+                "choice_a": "a dog", "choice_b": "a cat",
+                "choice_c": "a bird", "choice_d": "a fish",
+                "answer": "B", "data_id": "img.jpg", "question_type_id": 1,
+            }
+        ]
+    }
+    path = tmp_path / "SEED-Bench.json"
+    with open(path, "w") as f:
+        json.dump(data, f)
+    metrics = run_benchmark("seedbench_gen", runner, str(path))
+    assert "acc" in metrics and "extraction_rate" in metrics

@@ -131,6 +131,47 @@ class SEEDBench(Benchmark):
         return ppl_choice_accuracy(results)
 
 
+class SEEDBenchGen(Benchmark):
+    """SEEDBench generate-and-judge mode (eval/seedbench/eval_generate.py +
+    extract_choice.py): lettered-options prompt, regex-first extraction in
+    place of the reference's lmdeploy LLM judge."""
+
+    name = "seedbench_gen"
+
+    def load_rows(self, data_file: str, image_root: str = "", **kw) -> list[dict]:
+        import json
+        import os
+
+        with open(data_file) as f:
+            raw = json.load(f)["questions"]
+        out = []
+        for q in raw:
+            if q.get("question_type_id", 0) > 9:
+                continue
+            options = {
+                c.upper(): q[f"choice_{c}"]
+                for c in ("a", "b", "c", "d")
+                if f"choice_{c}" in q
+            }
+            prompt = q["question"] + "\nThere are several options:\n"
+            for k, v in options.items():
+                prompt += f"{k}. {v}\n"
+            prompt += "please only output the option letter."
+            out.append(
+                {
+                    "index": q["question_id"],
+                    "question": prompt,
+                    "answer": q["answer"].upper(),
+                    "img": os.path.join(image_root or "", q.get("data_id", "")),
+                    **options,
+                }
+            )
+        return out
+
+    def score(self, results):
+        return multiple_choice_accuracy(results)
+
+
 class MMVet(Benchmark):
     """eval/mmvet/eval.py: free-form answers saved for grading; in-repo
     fallback scores exact/substring match against the gold answer."""
@@ -239,8 +280,8 @@ class VQA(Benchmark):
 BENCHMARKS: dict[str, Benchmark] = {
     b.name: b
     for b in (
-        MME(), MMBench(), SEEDBench(), MMVet(), MMMU(), MathVista(), POPE(),
-        VQA(),
+        MME(), MMBench(), SEEDBench(), SEEDBenchGen(), MMVet(), MMMU(),
+        MathVista(), POPE(), VQA(),
     )
 }
 
