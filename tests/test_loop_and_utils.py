@@ -116,3 +116,69 @@ def test_generation_with_tensor_parallel_mesh():
     gen2 = Generator(cfg, GenerateConfig(max_new_tokens=5, pad_token_id=0))
     got = np.asarray(gen2(params_s, batch_s))
     np.testing.assert_array_equal(got, want)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """optax.MultiSteps: two half-batches == one full batch (mean loss)."""
+    import optax
+
+    from tests.test_dpo_step import _setup, tiny_batch
+    from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig, init_train_state, make_optimizer,
+    )
+    from tests.test_dpo_step import tiny_vlm_config
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=4, alpha=8.0, target_patterns=(r"lm/.*attn/",))
+    dcfg = DPOConfig(loss_type="sigmoid", lora_scale=lcfg.scale)
+    full = tiny_batch(jax.random.PRNGKey(2), n_pairs=4)
+
+    def half(i):
+        # [chosen_i; rejected_i] halves keeping the concat layout
+        sl = slice(2 * i, 2 * i + 2)
+        return {
+            "input_ids": np.concatenate(
+                [full["input_ids"][sl], full["input_ids"][4:][sl]]
+            ),
+            "labels": np.concatenate(
+                [full["labels"][sl], full["labels"][4:][sl]]
+            ),
+            "pad_mask": np.concatenate(
+                [full["pad_mask"][sl], full["pad_mask"][4:][sl]]
+            ),
+            "pixel_values": full["pixel_values"][sl],
+            "image_positions": np.concatenate(
+                [full["image_positions"][sl], full["image_positions"][4:][sl]]
+            ),
+        }
+
+    # accumulated: 2 micro-steps with grad_accum=2
+    ocfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=0,
+                           warmup_ratio=0.0, total_steps=10, schedule="constant",
+                           grad_accum_steps=2)
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    tx = make_optimizer(ocfg, adapters)
+    state = init_train_state(adapters, tx)
+    step = make_dpo_step(cfg, dcfg, tx)
+    state, _ = step(state, params, half(0))
+    state, _ = step(state, params, half(1))
+    accum_trainable = jax.tree.map(np.asarray, state.trainable)
+
+    # full batch, no accumulation
+    ocfg2 = OptimizerConfig(learning_rate=1e-2, warmup_steps=0,
+                            warmup_ratio=0.0, total_steps=10,
+                            schedule="constant")
+    adapters2 = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    tx2 = make_optimizer(ocfg2, adapters2)
+    state2 = init_train_state(adapters2, tx2)
+    step2 = make_dpo_step(cfg, dcfg, tx2)
+    state2, _ = step2(state2, params, full)
+    full_trainable = jax.tree.map(np.asarray, state2.trainable)
+
+    for a, b in zip(jax.tree.leaves(accum_trainable),
+                    jax.tree.leaves(full_trainable)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)

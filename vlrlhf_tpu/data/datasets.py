@@ -152,3 +152,16 @@ def train_eval_split(
     train = [r for i, r in enumerate(rows) if i not in eval_idx]
     eval_ = [rows[i] for i in sorted(eval_idx)]
     return train, eval_
+
+
+def shard_rows_for_process(rows: list[Row]) -> list[Row]:
+    """Each host keeps its contiguous shard (multi-host data loading; the
+    device mesh then shards each host's batch across its local devices)."""
+    import jax
+
+    n = jax.process_count()
+    if n == 1:
+        return rows
+    idx = jax.process_index()
+    per = -(-len(rows) // n)
+    return rows[idx * per : (idx + 1) * per]
