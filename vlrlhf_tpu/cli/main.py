@@ -437,6 +437,20 @@ def cmd_ppo(args):
         metrics["ppo/kl"] = float(stats.kl)
         metrics["ppo/kl_coef"] = kl_ctl.value
         logger.log(it + 1, metrics)
+        # gamelog: sample query/response pairs (the reference's wandb image
+        # gamelog, base/trainer.py:493-497 — text form, jsonl)
+        if it % 10 == 0:
+            import json as _json
+
+            with open(os.path.join(args.output_dir, "ppo_gamelog.jsonl"), "a") as f:
+                toks = np.asarray(tokens[0])
+                resp = processor.tokenizer.decode(
+                    toks[toks != pad_id].tolist(), skip_special_tokens=True
+                )
+                f.write(_json.dumps(
+                    {"step": it + 1, "prompt": chunk[0]["prompt"],
+                     "response": resp, "score": float(scores[0])}
+                ) + "\n")
     _finish(args, state, params, lcfg, processor)
 
 
@@ -531,7 +545,21 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — first compile of a 7B step takes
+    minutes; subsequent runs hit the cache."""
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[list[str]] = None):
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

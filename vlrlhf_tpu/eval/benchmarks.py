@@ -301,16 +301,28 @@ def run_benchmark(
     `accelerate launch -m vlrlhf.eval.<bench>.eval && calculate.py`."""
     bench = BENCHMARKS[name]
     rows = bench.load_rows(data_file, image_root=image_root)
+    # multi-host: each process evaluates its shard; results allgather below
+    from vlrlhf_tpu.core.dist import is_main_process, process_allgather
+    from vlrlhf_tpu.data.datasets import shard_rows_for_process
+
+    rows = shard_rows_for_process(rows)
     if bench.mode == "ppl":
         results = runner.run_vqa_ppl(rows, batch_size=batch_size, progress=progress)
     else:
         results = runner.run_vqa(rows, batch_size=batch_size, progress=progress)
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        gathered = process_allgather(results)
+        results = [r for shard in gathered for r in shard] if isinstance(
+            gathered[0], list
+        ) else results
     metrics = bench.score(results)
-    if output_json:
+    if output_json and is_main_process():
         from vlrlhf_tpu.eval.db import save_results_json
 
         save_results_json(output_json, results)
-    if sqlite_db:
+    if sqlite_db and is_main_process():
         from vlrlhf_tpu.eval.db import log_metrics_to_sqlite
 
         log_metrics_to_sqlite(sqlite_db, name.upper(), metrics, tag)
