@@ -128,3 +128,77 @@ def test_llava_next_anyres_parity():
         pad_mask=jnp.ones((b, s), bool),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=5e-3)
+
+
+def test_anyres_dpo_step_end_to_end(tmp_path):
+    """Full llava-next anyres training path: images -> plans -> collator ->
+    jitted DPO step."""
+    import dataclasses
+
+    from PIL import Image
+
+    from vlrlhf_tpu.data.collators import CollatorConfig, DPOCollator
+    from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+    from vlrlhf_tpu.models.registry import FAMILIES, scale_down
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig, init_train_state, make_optimizer,
+    )
+
+    # scaled-down llava-next: tile 16, patch 4 -> tile_grid 4
+    cfg = scale_down(FAMILIES["llava_next_vicuna"].make_config())
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    # anyres needs the newline embedding (ported from HF normally)
+    params["image_newline"] = {
+        "embedding": jax.random.normal(jax.random.PRNGKey(9), (cfg.lm.hidden_size,))
+    }
+
+    imgs = []
+    for i, (h, w) in enumerate([(24, 18), (20, 30)]):
+        p = str(tmp_path / f"i{i}.jpg")
+        Image.fromarray(
+            np.random.default_rng(i).integers(0, 255, (h, w, 3), np.uint8)
+        ).save(p)
+        imgs.append(p)
+
+    # tokenizer vocab must fit the scaled-down model's 256-token vocab
+    from vlrlhf_tpu.data.chat_templates import TEMPLATES
+    from vlrlhf_tpu.data.processor import ProcessorConfig, VLProcessor
+    from vlrlhf_tpu.data.tokenizer import ToyTokenizer
+
+    proc = VLProcessor(
+        ToyTokenizer(vocab_size=250),
+        TEMPLATES["llava"],
+        ProcessorConfig(num_image_tokens=16, image_token="<image>",
+                        image_token_id=3, max_length=64, max_prompt_length=48),
+    )
+    ccfg = CollatorConfig(
+        pad_token_id=0, bucket_multiple=32, image_size=cfg.vision.image_size,
+        anyres=True, tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
+        grid_pinpoints=((16, 32), (32, 16), (32, 32)),
+    )
+    coll = DPOCollator(proc, ccfg)
+    rows = [
+        proc.tokenize_row_dpo(
+            {"prompt": f"q {i}", "chosen": "yes this", "rejected": "no that",
+             "img_path": imgs[i]}
+        )
+        for i in range(2)
+    ]
+    batch = coll(rows)
+    assert "anyres_gather" in batch
+    assert batch["pixel_values"].ndim == 5
+
+    lcfg = LoraConfig(r=2, alpha=4.0, target_patterns=(r"lm/.*attn/",))
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10),
+        adapters,
+    )
+    state = init_train_state(adapters, tx)
+    step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
+    state, m = step(state, params, batch)
+    np.testing.assert_allclose(float(m["loss"]), np.log(2.0), atol=1e-4)
+    state, m = step(state, params, batch)
+    assert np.isfinite(float(m["loss"]))

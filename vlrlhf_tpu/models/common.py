@@ -66,7 +66,10 @@ def linear(
 
 
 def embed(p: dict, ids: jax.Array, dtype: jnp.dtype) -> jax.Array:
-    return jnp.take(p["embedding"], ids, axis=0).astype(dtype)
+    # mode="clip": out-of-vocab ids (a tokenizer/config mismatch) clamp to the
+    # last row instead of jax's default NaN fill — NaNs here poison the whole
+    # step and are brutal to trace back.
+    return jnp.take(p["embedding"], ids, axis=0, mode="clip").astype(dtype)
 
 
 def init_linear(

@@ -105,3 +105,35 @@ def run_training(
         pending_metrics = metrics
     del pending_metrics
     return state
+
+
+def prefetch_iterator(it: Iterable[dict], depth: int = 2) -> Iterable[dict]:
+    """Run the upstream iterator (tokenize+collate+image decode) in a
+    background thread so host data work overlaps device steps. The native
+    image loader releases the GIL in its C++ thread pool, so this overlaps
+    for real on multi-core hosts."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
