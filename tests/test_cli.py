@@ -24,8 +24,10 @@ def _common(tmp_path, n=6):
     ]
 
 
-def test_cli_dpo_synthetic(tmp_path):
-    main(["dpo", *_common(tmp_path), "--loss_type", "sigmoid"])
+@pytest.mark.parametrize("family", ["llava", "qwen_vl", "instructblip"])
+def test_cli_dpo_synthetic(tmp_path, family):
+    main(["dpo", *_common(tmp_path), "--loss_type", "sigmoid",
+          "--model_family", family])
     assert os.path.exists(tmp_path / "dpo_metrics.jsonl")
     with open(tmp_path / "dpo_metrics.jsonl") as f:
         records = [json.loads(line) for line in f]
@@ -65,3 +67,16 @@ def test_cli_eval_synthetic(tmp_path):
         "--max_new_tokens", "4",
     ])
     assert os.path.exists(tmp_path / "pope.json")
+
+
+def test_cli_dpo_resume(tmp_path):
+    args = _common(tmp_path)
+    # train 2 steps with frequent saves
+    main(["dpo", *args, "--save_steps", "2", "--max_steps", "2"])
+    ckpts = os.listdir(tmp_path / "checkpoints")
+    assert any(c.isdigit() and int(c) == 2 for c in ckpts), ckpts
+    # resume and continue to step 4
+    main(["dpo", *args, "--save_steps", "2", "--max_steps", "4",
+          "--resume_from_checkpoint", "auto"])
+    ckpts = os.listdir(tmp_path / "checkpoints")
+    assert any(c.isdigit() and int(c) == 4 for c in ckpts), ckpts

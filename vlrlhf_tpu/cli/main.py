@@ -197,6 +197,32 @@ def _finish(args, state, params, lcfg, processor):
     print(f"saved to {args.output_dir}")
 
 
+
+def _maybe_resume(args, state, ckpt):
+    """--resume_from_checkpoint: 'auto' resumes the latest step in
+    output_dir/checkpoints; a path resumes that manager's latest."""
+    if not args.resume_from_checkpoint:
+        return state, 0
+    from vlrlhf_tpu.train.checkpoint import CheckpointManager
+    from vlrlhf_tpu.train.train_state import TrainState
+
+    mgr = ckpt
+    if args.resume_from_checkpoint not in ("auto", "true", "True"):
+        mgr = CheckpointManager(args.resume_from_checkpoint)
+    step = mgr.latest_step()
+    if step is None:
+        print("no checkpoint found; starting fresh")
+        return state, 0
+    restored, _ = mgr.restore(
+        step,
+        template={"trainable": state.trainable, "opt_state": state.opt_state,
+                  "step": state.step},
+    )
+    print(f"resumed from step {step}")
+    return TrainState(restored["step"], restored["trainable"],
+                      restored["opt_state"]), step
+
+
 def cmd_dpo(args):
     from vlrlhf_tpu.data.collators import CollatorConfig, DPOCollator
     from vlrlhf_tpu.train.checkpoint import CheckpointManager
@@ -237,10 +263,12 @@ def cmd_dpo(args):
         args.output_dir, run_name, tuple(args.report_to.split(","))
     )
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state, start_step = _maybe_resume(args, state, ckpt)
     state = run_training(
         step, state, params, batches, logger, ckpt,
         save_steps=args.save_steps, logging_steps=args.logging_steps,
         max_steps=args.max_steps, batch_sharding=batch_sharding,
+        start_step=start_step,
     )
     ckpt.wait()
     _finish(args, state, params, lcfg, processor)
@@ -278,10 +306,12 @@ def cmd_sft(args):
     logger = MetricsLogger(args.output_dir, args.run_name or "sft",
                            tuple(args.report_to.split(",")))
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state, start_step = _maybe_resume(args, state, ckpt)
     state = run_training(
         step, state, params, batches, logger, ckpt,
         save_steps=args.save_steps, logging_steps=args.logging_steps,
         max_steps=args.max_steps, batch_sharding=batch_sharding,
+        start_step=start_step,
     )
     ckpt.wait()
     _finish(args, state, params, lcfg, processor)
@@ -324,10 +354,12 @@ def cmd_rm(args):
     logger = MetricsLogger(args.output_dir, args.run_name or "rm",
                            tuple(args.report_to.split(",")))
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state, start_step = _maybe_resume(args, state, ckpt)
     state = run_training(
         step, state, params, batches, logger, ckpt,
         save_steps=args.save_steps, logging_steps=args.logging_steps,
         max_steps=args.max_steps, batch_sharding=batch_sharding,
+        start_step=start_step,
     )
     ckpt.wait()
     _finish(args, state, params, lcfg, processor)

@@ -25,6 +25,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from vlrlhf_tpu.models.common import Ctx, embed, init_linear, linear
 from vlrlhf_tpu.ops.attention import multi_head_attention, reference_attention
 from vlrlhf_tpu.ops.norms import rms_norm
@@ -52,8 +54,10 @@ class LMConfig:
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     remat: bool = True
-    # 'full' recomputes everything; 'dots' saves matmul outputs (less
-    # recompute, more HBM) — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # 'full' recomputes everything in bwd; 'dots' saves matmul outputs
+    # (heaviest HBM); 'attn' saves only each layer's attention output
+    # (B*S*H bytes/layer) so backward recomputes just norms+MLP — the best
+    # memory/compute trade at 16GB HBM.
     remat_policy: str = "full"
 
     @property
@@ -220,6 +224,7 @@ def lm_forward(
             (ck, cv) if ck is not None else None,
             kv_mask,
         )
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + attn_out
         h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_eps)
         x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
@@ -231,6 +236,8 @@ def lm_forward(
         policy = None
         if cfg.remat_policy == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif cfg.remat_policy == "attn":
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     xs = (
