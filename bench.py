@@ -19,7 +19,22 @@ PEAK_BF16_FLOPS = {
 }
 
 
+def _compile_cache():
+    try:
+        import os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main():
+    _compile_cache()
     on_tpu = jax.default_backend() == "tpu"
     import __graft_entry__ as graft
     from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
@@ -122,6 +137,7 @@ def main():
 def main_eval():
     """Secondary north-star metric: eval images/sec through the generation
     engine (MME-style batched greedy decode). Run: python bench.py --eval"""
+    _compile_cache()
     import __graft_entry__ as graft
     from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
     from vlrlhf_tpu.models.vlm import init_vlm_params

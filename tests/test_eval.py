@@ -235,3 +235,25 @@ def test_run_benchmark_seedbench_gen(tmp_path, runner):
         json.dump(data, f)
     metrics = run_benchmark("seedbench_gen", runner, str(path))
     assert "acc" in metrics and "extraction_rate" in metrics
+
+
+def test_mmbench_circular_scoring():
+    from vlrlhf_tpu.eval.benchmarks import BENCHMARKS
+
+    bench = BENCHMARKS["mmbench"]
+    # q1: both rotations correct; q2: one rotation wrong -> 50% circular acc
+    results = [
+        {"index": "1", "response": "A", "answer": "A",
+         "options_dict": {"A": "x", "B": "y"}},
+        {"index": "1000001", "response": "B", "answer": "B",
+         "options_dict": {"A": "y", "B": "x"}},
+        {"index": "2", "response": "A", "answer": "A",
+         "options_dict": {"A": "u", "B": "v"}},
+        {"index": "1000002", "response": "A", "answer": "B",
+         "options_dict": {"A": "v", "B": "u"}},
+    ]
+    m = bench.score(results)
+    assert m["mode"] == "circular" and m["acc"] == 50.0
+    # plain fallback without rotations
+    m2 = bench.score(results[:1])
+    assert "extraction_rate" in m2

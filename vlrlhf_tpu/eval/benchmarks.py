@@ -87,7 +87,33 @@ class MMBench(Benchmark):
         return out
 
     def score(self, results):
-        return multiple_choice_accuracy(results)
+        """CircularEval when the TSV carries rotated copies (official MMBench
+        convention: rotations share `index % 1e6`; a question counts only if
+        every rotation is answered correctly — what VLMEvalKit computes for
+        the reference). Falls back to plain accuracy otherwise."""
+        from collections import defaultdict
+
+        from vlrlhf_tpu.eval.scorers import extract_choice
+
+        has_circular = any(int(r["index"]) >= 1_000_000 for r in results
+                           if str(r["index"]).isdigit())
+        if not has_circular:
+            return multiple_choice_accuracy(results)
+        by_q = defaultdict(list)
+        for r in results:
+            by_q[int(r["index"]) % 1_000_000].append(r)
+        n_correct = 0
+        for rows in by_q.values():
+            ok = all(
+                extract_choice(r["response"], r.get("options_dict"))
+                == str(r["answer"]).strip().upper()
+                for r in rows
+            )
+            n_correct += ok
+        return {
+            "acc": round(100 * n_correct / max(len(by_q), 1), 2),
+            "mode": "circular",
+        }
 
 
 class SEEDBench(Benchmark):
