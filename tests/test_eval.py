@@ -257,3 +257,23 @@ def test_mmbench_circular_scoring():
     # plain fallback without rotations
     m2 = bench.score(results[:1])
     assert "extraction_rate" in m2
+
+
+def test_tsv_multi_image_rows(tmp_path):
+    import pandas as pd
+
+    from vlrlhf_tpu.eval.datasets import TSVBenchmark
+
+    b64 = _b64_image()
+    df = pd.DataFrame(
+        {
+            "index": ["0", "1"],
+            "image": [str([b64, b64]), b64],
+            "question": ["compare <image 1> and <image 2>", "what?"],
+        }
+    )
+    tsv = tmp_path / "multi.tsv"
+    df.to_csv(tsv, sep="\t", index=False)
+    rows = TSVBenchmark(str(tsv)).rows()
+    assert isinstance(rows[0]["img"], list) and len(rows[0]["img"]) == 2
+    assert isinstance(rows[1]["img"], str)

@@ -254,10 +254,12 @@ def cmd_dpo(args):
     collator = DPOCollator(processor, ccfg)
     if args.synthetic:
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
-    batches = batch_iterator(
+    from vlrlhf_tpu.train.loop import prefetch_iterator
+
+    batches = prefetch_iterator(batch_iterator(
         rows, processor.tokenize_row_dpo, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
-    )
+    ))
     run_name = args.run_name or "dpo"
     logger = MetricsLogger(
         args.output_dir, run_name, tuple(args.report_to.split(","))
@@ -299,10 +301,12 @@ def cmd_sft(args):
     collator = SFTCollator(processor, ccfg)
     if args.synthetic:
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
-    batches = batch_iterator(
+    from vlrlhf_tpu.train.loop import prefetch_iterator
+
+    batches = prefetch_iterator(batch_iterator(
         rows, processor.tokenize_row_sft, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
-    )
+    ))
     logger = MetricsLogger(args.output_dir, args.run_name or "sft",
                            tuple(args.report_to.split(",")))
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
@@ -347,10 +351,12 @@ def cmd_rm(args):
     collator = RMCollator(processor, ccfg)
     if args.synthetic:
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
-    batches = batch_iterator(
+    from vlrlhf_tpu.train.loop import prefetch_iterator
+
+    batches = prefetch_iterator(batch_iterator(
         rows, processor.tokenize_row_dpo, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
-    )
+    ))
     logger = MetricsLogger(args.output_dir, args.run_name or "rm",
                            tuple(args.report_to.split(",")))
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))

@@ -58,7 +58,19 @@ class TSVBenchmark:
         out = []
         for _, line in self.df.iterrows():
             d = line.to_dict()
-            d["img"] = self._dump_image(str(d["index"]), d.pop("image"))
+            img = d.pop("image")
+            # MMMU-style multi-image rows store a python-list string
+            # (reference's isliststr/eval handling, eval/mme/eval.py:29-53)
+            if isinstance(img, str) and img.startswith("[") and img.endswith("]"):
+                import ast
+
+                imgs = ast.literal_eval(img)
+                d["img"] = [
+                    self._dump_image(f"{d['index']}_{i}", b)
+                    for i, b in enumerate(imgs)
+                ]
+            else:
+                d["img"] = self._dump_image(str(d["index"]), img)
             out.append(d)
         return out
 
