@@ -135,3 +135,26 @@ def test_sharded_step_matches_unsharded():
         float(m_unsharded["rewards/margins"]),
         atol=1e-5,
     )
+
+
+def test_precomputed_ref_logps_match_online():
+    """Precompute pass + cached-ref step == online-ref step (same loss)."""
+    from vlrlhf_tpu.train.dpo import make_ref_logps_fn
+
+    cfg, params, state, step, batch = _setup()
+    _, m_online = step(state, params, batch)
+
+    # precompute ref logps for the same batch, attach, rebuild step
+    dcfg = DPOConfig(beta=0.1, loss_type="sigmoid", lora_scale=8.0 / 4)
+    fn = make_ref_logps_fn(cfg, dcfg)
+    c, r = fn(params, batch)
+    batch2 = dict(batch, ref_chosen_logps=c, ref_rejected_logps=r)
+    _, _, state2, step2, _ = _setup()
+    _, m_cached = step2(state2, params, batch2)
+    np.testing.assert_allclose(
+        float(m_cached["loss"]), float(m_online["loss"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_cached["rewards/margins"]), float(m_online["rewards/margins"]),
+        atol=1e-5,
+    )

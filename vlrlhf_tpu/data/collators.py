@@ -223,6 +223,13 @@ class DPOCollator(_CollatorBase):
                 [r.get("img_path") for r in rows]
             )
         batch.update(self._qformer_batch(rows))
+        if "ref_chosen_logp" in rows[0]:
+            batch["ref_chosen_logps"] = np.asarray(
+                [r["ref_chosen_logp"] for r in rows], np.float32
+            )
+            batch["ref_rejected_logps"] = np.asarray(
+                [r["ref_rejected_logp"] for r in rows], np.float32
+            )
         if cfg.compute_diff_mask:
             n = len(rows)
             masks = np.zeros((2 * n, L), bool)

@@ -181,3 +181,70 @@ def make_dpo_step(model_cfg: VLMConfig, dpo_cfg: DPOConfig, tx):
         return dpo_step_fn(model_cfg, dpo_cfg, tx, state, base_params, batch)
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_ref_logps_fn(model_cfg: VLMConfig, dpo_cfg: DPOConfig):
+    """Jitted adapter-off logps for ref precomputation (TRL's
+    precompute_ref_log_probs). Returns (chosen_logps, rejected_logps)."""
+
+    @jax.jit
+    def f(params, batch):
+        image_features = None
+        if batch.get("pixel_values") is not None:
+            pv = batch["pixel_values"]  # (B_pairs, n_img|n_tiles, H, W, 3)
+            b, n_img = pv.shape[:2]
+            feats = encode_images(
+                model_cfg,
+                params,
+                pv.reshape(b * n_img, *pv.shape[2:]),
+                qformer_ids=batch.get("qformer_input_ids"),
+                qformer_mask=batch.get("qformer_mask"),
+            )
+            if batch.get("anyres_gather") is not None:
+                from vlrlhf_tpu.models.anyres import gather_anyres_features
+
+                d = feats.shape[-1]
+                newline = params["image_newline"]["embedding"]
+                feats = jax.vmap(
+                    lambda ft, g: gather_anyres_features(ft, g, newline)
+                )(feats.reshape(b, -1, d), batch["anyres_gather"])
+            else:
+                feats = feats.reshape(b, n_img * model_cfg.num_image_tokens, -1)
+            image_features = jnp.concatenate([feats, feats], axis=0)
+        logps, _ = _forward_logps(
+            model_cfg, params, batch, Ctx(), dpo_cfg, image_features
+        )
+        n = logps.shape[0] // 2
+        return logps[:n], logps[n:]
+
+    return f
+
+
+def precompute_ref_logps(
+    model_cfg: VLMConfig,
+    dpo_cfg: DPOConfig,
+    params: PyTree,
+    rows: list,
+    tokenize_fn,
+    collator,
+    batch_size: int = 8,
+) -> list:
+    """One adapter-off pass over the dataset; rows gain ref_*_logp floats.
+
+    Training steps then skip the ref forward entirely (the collator ships the
+    cached values) — a ~20%% step-time saving that compounds per epoch.
+    """
+    import numpy as np
+
+    fn = make_ref_logps_fn(model_cfg, dpo_cfg)
+    out = []
+    for start in range(0, len(rows), batch_size):
+        chunk = [tokenize_fn(r) for r in rows[start : start + batch_size]]
+        batch = collator(chunk)
+        batch = {k: v for k, v in batch.items() if k != "loss_mask"}
+        c, r = fn(params, batch)
+        for row, cl, rl in zip(rows[start : start + batch_size],
+                               np.asarray(c), np.asarray(r)):
+            out.append(dict(row, ref_chosen_logp=float(cl),
+                            ref_rejected_logp=float(rl)))
+    return out
