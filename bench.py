@@ -145,7 +145,7 @@ def main_eval():
     on_tpu = jax.default_backend() == "tpu"
     cfg = graft._flagship_config(tiny=not on_tpu)
     params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
-    bsz, prompt_len, n_new = (16, 128, 16) if on_tpu else (2, 32, 4)
+    bsz, prompt_len, n_new = (32, 128, 16) if on_tpu else (2, 32, 4)
 
     batch = graft._example_batch(cfg, n_pairs=bsz // 2, seq=prompt_len)
     gen_batch = {

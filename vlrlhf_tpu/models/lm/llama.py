@@ -141,20 +141,30 @@ def _attention_block(
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_kv is not None:
-        # Decode/prefill-with-cache: write current k/v at `positions` slots,
-        # attend over the whole cache with slot-index causality.
+        # Write current k/v at `positions` slots.
         ck, cv = cache_kv  # (B, Sc, nkv, hd)
         batch_idx = jnp.arange(b)[:, None]
         ck = ck.at[batch_idx, positions].set(k.astype(ck.dtype))
         cv = cv.at[batch_idx, positions].set(v.astype(cv.dtype))
-        sc = ck.shape[1]
-        slots = jnp.arange(sc)[None, None, :]  # (1, 1, Sc)
-        attend = slots <= positions[:, :, None]  # causal by absolute position
-        if kv_mask is not None:
-            attend = attend & kv_mask[:, None, :].astype(bool)
-        if pad_mask is not None:
-            attend = attend & pad_mask[:, :, None].astype(bool)
-        out = reference_attention(q, ck, cv, mask=attend[:, None])
+        if s > 1:
+            # PREFILL: the cache holds nothing before this chunk, so chunk-
+            # local causal attention == attention over the cache — use the
+            # flash kernel instead of dense (S x cache_len) masked scores.
+            out = multi_head_attention(
+                q, k, v, causal=True,
+                pad_mask_q=pad_mask, pad_mask_kv=pad_mask,
+                impl=ctx.attn_impl,
+            )
+        else:
+            # DECODE: one query against the whole cache, slot-index causality.
+            sc = ck.shape[1]
+            slots = jnp.arange(sc)[None, None, :]  # (1, 1, Sc)
+            attend = slots <= positions[:, :, None]
+            if kv_mask is not None:
+                attend = attend & kv_mask[:, None, :].astype(bool)
+            if pad_mask is not None:
+                attend = attend & pad_mask[:, :, None].astype(bool)
+            out = reference_attention(q, ck, cv, mask=attend[:, None])
         new_cache = (ck, cv)
     else:
         out = multi_head_attention(
