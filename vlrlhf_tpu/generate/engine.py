@@ -43,6 +43,11 @@ class GenerateConfig:
     top_p: Optional[float] = None
     eos_token_ids: tuple[int, ...] = ()
     pad_token_id: int = 0
+    # 'device': lax.while_loop decode (one dispatch; best over high-latency
+    # control planes like the axon tunnel). 'host': python loop over a
+    # donated step (in-place buffers + early exit; best on local TPU-VMs
+    # where dispatch is ~1ms and can pipeline).
+    decode_mode: str = "device"
 
 
 def _generate_impl(
@@ -99,67 +104,106 @@ def _generate_impl(
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
     done0 = jnp.any(first_token[:, None] == eos[None, :], axis=1)
 
-    # Write the first generated token into the output, then loop.
     out0 = jnp.full((b, gen_cfg.max_new_tokens), gen_cfg.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(jnp.where(done0, gen_cfg.pad_token_id, first_token))
-    # For rows already done, keep tokens padded.
-    if gen_cfg.max_new_tokens > 1:
-        tokens, _ = _decode_rest(
-            model_cfg, gen_cfg, params, ctx, cache, prompt_lens, first_token,
-            done0, rng, out0,
-        )
-    else:
-        tokens = out0
-    return tokens
+    return cache, prompt_lens, first_token, done0, out0
 
 
-def _decode_rest(
-    model_cfg, gen_cfg, params, ctx, cache, prompt_lens, first_token, done0,
-    rng, out0,
+def _decode_body(
+    model_cfg, gen_cfg, params, ctx, eos,
+    cache, lengths, last_token, done, out, step, rng,
 ):
-    b = prompt_lens.shape[0]
+    """Shared single-token decode used by both loop modes."""
     smax = cache["k"].shape[2]
-    n_new = gen_cfg.max_new_tokens
+    positions = lengths[:, None]
+    kv_mask = jnp.arange(smax)[None, :] <= lengths[:, None]
+    logits, cache = lm_forward(
+        model_cfg.lm,
+        params["lm"],
+        input_ids=last_token[:, None],
+        positions=positions,
+        cache=cache,
+        kv_mask=kv_mask,
+        ctx=ctx.sub("lm"),
+    )
+    rng, krng = jax.random.split(rng)
+    next_token = sample_tokens(
+        logits[:, 0],
+        krng,
+        temperature=gen_cfg.temperature,
+        top_k=gen_cfg.top_k,
+        top_p=gen_cfg.top_p,
+        do_sample=gen_cfg.do_sample,
+    )
+    next_token = jnp.where(done, gen_cfg.pad_token_id, next_token)
+    out = jax.lax.dynamic_update_slice(
+        out, next_token[:, None], (jnp.int32(0), step)
+    )
+    new_done = done | jnp.any(next_token[:, None] == eos[None, :], axis=1)
+    lengths = jnp.where(done, lengths, lengths + 1)
+    return cache, lengths, next_token, new_done, out, rng
+
+
+def _decode_many_impl(
+    model_cfg: VLMConfig,
+    gen_cfg: GenerateConfig,
+    params: PyTree,
+    cache: dict,
+    lengths: jax.Array,
+    last_token: jax.Array,
+    done: jax.Array,
+    out: jax.Array,
+    rng: jax.Array,
+    adapters: Optional[PyTree],
+    lora_scale: float,
+):
+    """Device-loop decode: all steps in one dispatch (early exit on device)."""
+    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
+    n_new = gen_cfg.max_new_tokens
 
     def cond(carry):
-        step, _, _, _, done, _, _ = carry
+        step = carry[0]
+        done = carry[4]
         return (step < n_new) & ~jnp.all(done)
 
     def body(carry):
-        step, cache, lengths, last_token, done, rng, out = carry
-        positions = lengths[:, None]
-        kv_mask = jnp.arange(smax)[None, :] <= lengths[:, None]
-        logits, cache = lm_forward(
-            model_cfg.lm,
-            params["lm"],
-            input_ids=last_token[:, None],
-            positions=positions,
-            cache=cache,
-            kv_mask=kv_mask,
-            ctx=ctx.sub("lm"),
+        step, cache, lengths, last_token, done, out, rng = carry
+        cache, lengths, last_token, done, out, rng = _decode_body(
+            model_cfg, gen_cfg, params, ctx, eos,
+            cache, lengths, last_token, done, out, step, rng,
         )
-        rng, krng = jax.random.split(rng)
-        next_token = sample_tokens(
-            logits[:, 0],
-            krng,
-            temperature=gen_cfg.temperature,
-            top_k=gen_cfg.top_k,
-            top_p=gen_cfg.top_p,
-            do_sample=gen_cfg.do_sample,
-        )
-        next_token = jnp.where(done, gen_cfg.pad_token_id, next_token)
-        out = out.at[:, step].set(next_token)
-        new_done = done | jnp.any(next_token[:, None] == eos[None, :], axis=1)
-        lengths = jnp.where(done, lengths, lengths + 1)
-        return (step + 1, cache, lengths, next_token, new_done, rng, out)
+        return (step + 1, cache, lengths, last_token, done, out, rng)
 
-    # step starts at 1: slot prompt_lens holds the first generated token.
-    carry = (1, cache, prompt_lens, first_token, done0, rng, out0)
-    step, cache, lengths, last_token, done, rng, out = jax.lax.while_loop(
-        cond, body, carry
+    carry = (jnp.int32(1), cache, lengths, last_token, done, out, rng)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[5]
+
+
+def _decode_step_impl(
+    model_cfg: VLMConfig,
+    gen_cfg: GenerateConfig,
+    params: PyTree,
+    cache: dict,
+    lengths: jax.Array,
+    last_token: jax.Array,
+    done: jax.Array,
+    out: jax.Array,
+    step: jax.Array,  # scalar int32
+    rng: jax.Array,
+    adapters: Optional[PyTree],
+    lora_scale: float,
+):
+    """One decode token for every row. Host-driven (not a device while_loop):
+    with cache/out donated, XLA updates every buffer in place — a device loop
+    carrying the multi-GB cache paid layout copies every iteration, measured
+    ~3x slower per token at batch 64."""
+    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
+    return _decode_body(
+        model_cfg, gen_cfg, params, ctx, eos,
+        cache, lengths, last_token, done, out, step, rng,
     )
-    return out, step
 
 
 class Generator:
@@ -187,18 +231,35 @@ class Generator:
             )
         return self._compiled[cache_len]
 
+    def _decode_fn(self):
+        if "decode" not in self._compiled:
+            self._compiled["decode"] = jax.jit(
+                functools.partial(_decode_step_impl, self.model_cfg, self.gen_cfg),
+                donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+            )
+        return self._compiled["decode"]
+
+    def _decode_many_fn(self):
+        if "decode_many" not in self._compiled:
+            self._compiled["decode_many"] = jax.jit(
+                functools.partial(_decode_many_impl, self.model_cfg, self.gen_cfg),
+                donate_argnums=(1, 2, 3, 4, 5),
+            )
+        return self._compiled["decode_many"]
+
     def __call__(
         self,
         params: PyTree,
         batch: dict,
         rng: Optional[jax.Array] = None,
+        early_exit_check_every: int = 8,
     ) -> jax.Array:
         """batch from GenerationCollator (right-padded). Returns (B, N) ids."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         l = batch["input_ids"].shape[1]
         cache_len = l + self.gen_cfg.max_new_tokens
         fn = self._fn(cache_len)
-        return fn(
+        cache, lengths, last_token, done, out = fn(
             params,
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["pad_mask"]),
@@ -216,6 +277,27 @@ class Generator:
             self.adapters,
             self.lora_scale,
         )
+        if self.gen_cfg.max_new_tokens <= 1:
+            return out
+        if self.gen_cfg.decode_mode == "device":
+            return self._decode_many_fn()(
+                params, cache, lengths, last_token, done, out, rng,
+                self.adapters, self.lora_scale,
+            )
+        decode = self._decode_fn()
+        # slot `prompt_lens` holds the first generated token; loop writes 1..
+        for step in range(1, self.gen_cfg.max_new_tokens):
+            cache, lengths, last_token, done, out, rng = decode(
+                params, cache, lengths, last_token, done, out,
+                jnp.int32(step), rng, self.adapters, self.lora_scale,
+            )
+            if (
+                early_exit_check_every
+                and step % early_exit_check_every == 0
+                and bool(jax.device_get(jnp.all(done)))
+            ):
+                break
+        return out
 
 
 def generate(
