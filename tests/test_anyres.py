@@ -202,3 +202,58 @@ def test_anyres_dpo_step_end_to_end(tmp_path):
     np.testing.assert_allclose(float(m["loss"]), np.log(2.0), atol=1e-4)
     state, m = step(state, params, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_anyres_generation_end_to_end(tmp_path):
+    """LLaVA-Next eval path: anyres GenerationCollator -> engine decode."""
+    from PIL import Image
+
+    from vlrlhf_tpu.data.chat_templates import TEMPLATES
+    from vlrlhf_tpu.data.collators import CollatorConfig, GenerationCollator
+    from vlrlhf_tpu.data.processor import (
+        ProcessorConfig, VLProcessor, make_single_turn_conv,
+    )
+    from vlrlhf_tpu.data.tokenizer import ToyTokenizer
+    from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+    from vlrlhf_tpu.models.registry import FAMILIES, scale_down
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+
+    cfg = scale_down(FAMILIES["llava_next_vicuna"].make_config())
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    params["image_newline"] = {
+        "embedding": jax.random.normal(jax.random.PRNGKey(9),
+                                       (cfg.lm.hidden_size,))
+    }
+    imgs = []
+    for i, (h, w) in enumerate([(24, 18), (20, 30)]):
+        p = str(tmp_path / f"g{i}.jpg")
+        Image.fromarray(
+            np.random.default_rng(i).integers(0, 255, (h, w, 3), np.uint8)
+        ).save(p)
+        imgs.append(p)
+
+    proc = VLProcessor(
+        ToyTokenizer(vocab_size=250), TEMPLATES["llava"],
+        ProcessorConfig(num_image_tokens=16, image_token="<image>",
+                        image_token_id=3, max_length=64),
+    )
+    coll = GenerationCollator(
+        proc,
+        CollatorConfig(pad_token_id=0, bucket_multiple=32,
+                       image_size=cfg.vision.image_size, anyres=True,
+                       tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
+                       grid_pinpoints=((16, 32), (32, 16), (32, 32))),
+    )
+    rows = []
+    for i, img in enumerate(imgs):
+        conv = make_single_turn_conv(
+            proc.format_multimodal_prompt(f"describe {i}", 1), ""
+        )
+        rows.append({"input_ids": proc.process_conv(conv)["input_ids"],
+                     "img_path": img})
+    batch = coll(rows)
+    assert "anyres_gather" in batch
+    gen = Generator(cfg, GenerateConfig(max_new_tokens=4, pad_token_id=0))
+    tokens = np.asarray(gen(params, batch))
+    assert tokens.shape == (2, 4)
+    assert np.isfinite(tokens).all()

@@ -245,9 +245,16 @@ class DPOCollator(_CollatorBase):
 class SFTCollator(_CollatorBase):
     def __call__(self, rows: list[dict]) -> dict[str, Any]:
         cfg = self.cfg
+        anyres_meta = None
+        counts = [None] * len(rows)
+        if cfg.anyres:
+            pixel, gather, counts = self._anyres_meta(
+                [r.get("img_path") for r in rows]
+            )
+            anyres_meta = (pixel, gather)
         expanded = [
-            self.processor.expand_image_tokens(r["input_ids"], r["labels"])
-            for r in rows
+            self.processor.expand_image_tokens(r["input_ids"], r["labels"], cnt)
+            for r, cnt in zip(rows, counts)
         ]
         L = _round_up(max(len(x[0]) for x in expanded), cfg.bucket_multiple)
         ids = self._pad_rows([x[0] for x in expanded], cfg.pad_token_id, L)
@@ -255,7 +262,11 @@ class SFTCollator(_CollatorBase):
         pad_mask = self._pad_rows(
             [np.ones(len(x[0]), np.int32) for x in expanded], 0, L
         ).astype(bool)
-        n_pos = cfg.max_images * self.processor.cfg.num_image_tokens
+        n_pos = (
+            anyres_meta[1].shape[1]
+            if anyres_meta is not None
+            else cfg.max_images * self.processor.cfg.num_image_tokens
+        )
         img_pos = np.full((len(rows), n_pos), -1, np.int32)
         for i, (_, _, pos) in enumerate(expanded):
             img_pos[i, : len(pos)] = pos
@@ -264,8 +275,14 @@ class SFTCollator(_CollatorBase):
             "labels": labels,
             "pad_mask": pad_mask,
             "image_positions": img_pos,
-            "pixel_values": self._load_images([r.get("img_path") for r in rows]),
         }
+        if anyres_meta is not None:
+            out["pixel_values"] = anyres_meta[0]
+            out["anyres_gather"] = anyres_meta[1]
+        else:
+            out["pixel_values"] = self._load_images(
+                [r.get("img_path") for r in rows]
+            )
         out.update(self._qformer_batch(rows))
         return out
 
@@ -285,25 +302,44 @@ class GenerationCollator(_CollatorBase):
 
     def __call__(self, rows: list[dict]) -> dict[str, Any]:
         cfg = self.cfg
+        anyres_meta = None
+        counts = [None] * len(rows)
+        if cfg.anyres:
+            pixel, gather, counts = self._anyres_meta(
+                [r.get("img_path") for r in rows]
+            )
+            anyres_meta = (pixel, gather)
         expanded = [
-            self.processor.expand_image_tokens(r["input_ids"], None)
-            for r in rows
+            self.processor.expand_image_tokens(r["input_ids"], None, cnt)
+            for r, cnt in zip(rows, counts)
         ]
         L = _round_up(max(len(x[0]) for x in expanded), cfg.bucket_multiple)
         b = len(rows)
         ids = np.full((b, L), cfg.pad_token_id, np.int32)
         pad_mask = np.zeros((b, L), bool)
-        n_pos = cfg.max_images * self.processor.cfg.num_image_tokens
+        n_pos = (
+            anyres_meta[1].shape[1]
+            if anyres_meta is not None
+            else cfg.max_images * self.processor.cfg.num_image_tokens
+        )
         img_pos = np.full((b, n_pos), -1, np.int32)
         for i, (row_ids, _, pos) in enumerate(expanded):
             n = len(row_ids)
             ids[i, :n] = row_ids
             pad_mask[i, :n] = True
             img_pos[i, : len(pos)] = pos
-        return {
+        out = {
             "input_ids": ids,
             "pad_mask": pad_mask,
             "image_positions": img_pos,
-            "pixel_values": self._load_images([r.get("img_path") for r in rows]),
             "prompt_lens": np.asarray([len(x[0]) for x in expanded], np.int32),
         }
+        if anyres_meta is not None:
+            out["pixel_values"] = anyres_meta[0]
+            out["anyres_gather"] = anyres_meta[1]
+        else:
+            out["pixel_values"] = self._load_images(
+                [r.get("img_path") for r in rows]
+            )
+        out.update(self._qformer_batch(rows))
+        return out
