@@ -83,6 +83,11 @@ def config_from_hf(hf: dict, dtype=jnp.bfloat16) -> tuple[ModelFamily, VLMConfig
             image_token_id=hf.get("image_token_index", 32000),
             num_image_tokens=(vc["image_size"] // vc["patch_size"]) ** 2,
             family=family.name,
+            grid_pinpoints=tuple(
+                tuple(p) for p in hf.get("image_grid_pinpoints", [])
+            )
+            if family.name.startswith("llava_next")
+            else (),
         )
     elif family.name == "qwen_vl":
         vis = hf["visual"]

@@ -250,6 +250,9 @@ def cmd_dpo(args):
         image_size=cfg.vision.image_size,
         resize_mode=family.resize_mode,
         compute_diff_mask=args.loss_type == "ddpo",
+        anyres=bool(cfg.grid_pinpoints) and not args.synthetic,
+        grid_pinpoints=cfg.grid_pinpoints,
+        tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
     )
     collator = DPOCollator(processor, ccfg)
     if args.synthetic:
@@ -297,6 +300,9 @@ def cmd_sft(args):
         bucket_multiple=128 if not args.synthetic else 32,
         image_size=cfg.vision.image_size,
         resize_mode=family.resize_mode,
+        anyres=bool(cfg.grid_pinpoints) and not args.synthetic,
+        grid_pinpoints=cfg.grid_pinpoints,
+        tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
     )
     collator = SFTCollator(processor, ccfg)
     if args.synthetic:
@@ -347,6 +353,9 @@ def cmd_rm(args):
         bucket_multiple=128 if not args.synthetic else 32,
         image_size=cfg.vision.image_size,
         resize_mode=family.resize_mode,
+        anyres=bool(cfg.grid_pinpoints) and not args.synthetic,
+        grid_pinpoints=cfg.grid_pinpoints,
+        tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
     )
     collator = RMCollator(processor, ccfg)
     if args.synthetic:
@@ -519,6 +528,9 @@ def cmd_eval(args):
             bucket_multiple=32 if args.synthetic else 128,
             image_size=cfg.vision.image_size,
             resize_mode=family.resize_mode,
+            anyres=bool(cfg.grid_pinpoints) and not args.synthetic,
+            grid_pinpoints=cfg.grid_pinpoints,
+            tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
         ),
     )
     if args.synthetic:

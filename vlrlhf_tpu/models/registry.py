@@ -71,9 +71,17 @@ def _llava_7b(dtype=jnp.bfloat16) -> VLMConfig:
     )
 
 
+DEFAULT_ANYRES_PINPOINTS = (
+    (336, 672), (672, 336), (672, 672), (1008, 336), (336, 1008),
+)
+
+
 def _llava_next_vicuna_7b(dtype=jnp.bfloat16) -> VLMConfig:
     cfg = _llava_7b(dtype)
-    return dataclasses.replace(cfg, family="llava_next_vicuna")
+    return dataclasses.replace(
+        cfg, family="llava_next_vicuna",
+        grid_pinpoints=DEFAULT_ANYRES_PINPOINTS,
+    )
 
 
 def _llava_next_mistral_7b(dtype=jnp.bfloat16) -> VLMConfig:
@@ -93,6 +101,7 @@ def _llava_next_mistral_7b(dtype=jnp.bfloat16) -> VLMConfig:
         image_token_id=32000,
         num_image_tokens=576,
         family="llava_next_mistral",
+        grid_pinpoints=DEFAULT_ANYRES_PINPOINTS,
     )
 
 

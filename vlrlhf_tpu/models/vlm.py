@@ -58,6 +58,8 @@ class VLMConfig:
     # PLoRA: gate LoRA deltas by image-position mask (InternLM-XC2).
     plora: bool = False
     family: str = "llava"
+    # LLaVA-Next anyres: grid pinpoints (empty = not an anyres model).
+    grid_pinpoints: tuple = ()
     # Device-side normalization constants (collators ship raw uint8 pixels;
     # rescale+normalize fuses into the tower's first conv on device).
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
