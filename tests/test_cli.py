@@ -80,3 +80,11 @@ def test_cli_dpo_resume(tmp_path):
           "--resume_from_checkpoint", "auto"])
     ckpts = os.listdir(tmp_path / "checkpoints")
     assert any(c.isdigit() and int(c) == 4 for c in ckpts), ckpts
+
+
+def test_cli_dpo_eval_during_training(tmp_path):
+    main(["dpo", *_common(tmp_path, n=24), "--eval_steps", "2",
+          "--eval_ratio", "0.2", "--max_steps", "4"])
+    with open(tmp_path / "dpo_metrics.jsonl") as f:
+        records = [json.loads(line) for line in f]
+    assert any("eval/loss" in r for r in records), records

@@ -47,6 +47,9 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--logging_steps", type=int, default=10)
     p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--eval_steps", type=int, default=0,
+                   help="evaluate on the holdout split every N steps (dpo)")
+    p.add_argument("--eval_ratio", type=float, default=0.005)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--use_lora", type=lambda x: x.lower() == "true", default=True)
     p.add_argument("--lora_r", type=int, default=64)
@@ -233,6 +236,11 @@ def cmd_dpo(args):
 
     family, cfg, params, processor = _load_bundle(args)
     rows = _load_rows(args, with_pairs=True)
+    eval_rows = []
+    if args.eval_steps:
+        from vlrlhf_tpu.data.datasets import train_eval_split
+
+        rows, eval_rows = train_eval_split(rows, args.eval_ratio, args.seed)
     mesh, rules, params, lcfg, adapters, ocfg, batch_sharding = _setup_training(
         args, cfg, params, family
     )
@@ -269,11 +277,33 @@ def cmd_dpo(args):
     )
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     state, start_step = _maybe_resume(args, state, ckpt)
+
+    on_step = None
+    if args.eval_steps and eval_rows:
+        from vlrlhf_tpu.train.dpo import make_dpo_eval_fn
+
+        eval_fn = make_dpo_eval_fn(cfg, dcfg)
+        eval_batches = [
+            collator([processor.tokenize_row_dpo(r) for r in eval_rows[i : i + args.per_device_train_batch_size]])
+            for i in range(0, len(eval_rows), args.per_device_train_batch_size)
+        ]
+
+        def on_step(step_idx, _metrics, cur_state):
+            if step_idx % args.eval_steps:
+                return
+            agg = {}
+            for eb in eval_batches:
+                m = eval_fn(cur_state.trainable, params, eb)
+                for k, v in m.items():
+                    agg.setdefault(k, []).append(float(v))
+            logger.log(step_idx, {k: float(np.mean(v)) for k, v in agg.items()})
+
     state = run_training(
         step, state, params, batches, logger, ckpt,
         save_steps=args.save_steps, logging_steps=args.logging_steps,
         max_steps=args.max_steps, batch_sharding=batch_sharding,
         start_step=start_step,
+        on_step=on_step,
     )
     ckpt.wait()
     _finish(args, state, params, lcfg, processor)

@@ -248,3 +248,58 @@ def precompute_ref_logps(
             out.append(dict(row, ref_chosen_logp=float(cl),
                             ref_rejected_logp=float(rl)))
     return out
+
+
+def make_dpo_eval_fn(model_cfg: VLMConfig, dpo_cfg: DPOConfig):
+    """Jitted eval metrics (no update) — the reference's eval-split pass over
+    the 0.5%% holdout (dpo.py:111-114)."""
+
+    @jax.jit
+    def f(trainable, base_params, batch):
+        n_pairs = batch["input_ids"].shape[0] // 2
+        image_features = None
+        if batch.get("pixel_values") is not None:
+            pv = batch["pixel_values"]
+            b, n_img = pv.shape[:2]
+            feats = encode_images(
+                model_cfg, base_params, pv.reshape(b * n_img, *pv.shape[2:]),
+                qformer_ids=batch.get("qformer_input_ids"),
+                qformer_mask=batch.get("qformer_mask"),
+            )
+            if batch.get("anyres_gather") is not None:
+                from vlrlhf_tpu.models.anyres import gather_anyres_features
+
+                d = feats.shape[-1]
+                newline = base_params["image_newline"]["embedding"]
+                feats = jax.vmap(
+                    lambda ft, g: gather_anyres_features(ft, g, newline)
+                )(feats.reshape(b, -1, d), batch["anyres_gather"])
+            else:
+                feats = feats.reshape(
+                    b, n_img * model_cfg.num_image_tokens, -1
+                )
+            image_features = jnp.concatenate([feats, feats], axis=0)
+        ref_logps, _ = _forward_logps(
+            model_cfg, base_params, batch, Ctx(), dpo_cfg, image_features
+        )
+        ctx = Ctx(adapters=trainable, lora_scale=dpo_cfg.lora_scale)
+        logps, _ = _forward_logps(
+            model_cfg, base_params, batch, ctx, dpo_cfg, image_features
+        )
+        out = dpo_loss(
+            logps[:n_pairs], logps[n_pairs:],
+            ref_logps[:n_pairs], ref_logps[n_pairs:],
+            beta=dpo_cfg.beta, label_smoothing=dpo_cfg.label_smoothing,
+            loss_type=dpo_cfg.loss_type, reference_free=dpo_cfg.reference_free,
+        )
+        return {
+            "eval/loss": out.loss,
+            "eval/rewards_accuracies": jnp.mean(
+                (out.chosen_rewards > out.rejected_rewards).astype(jnp.float32)
+            ),
+            "eval/rewards_margins": jnp.mean(
+                out.chosen_rewards - out.rejected_rewards
+            ),
+        }
+
+    return f

@@ -73,7 +73,7 @@ def run_training(
     max_steps: int = 0,
     batch_sharding=None,
     start_step: int = 0,
-    on_step: Optional[Callable[[int, dict], None]] = None,
+    on_step: Optional[Callable] = None,  # (step_idx, metrics, state)
 ) -> PyTree:
     """Drive the jitted step over batches; returns the final state."""
     step_idx = start_step
@@ -90,7 +90,7 @@ def run_training(
             host_metrics = {k: float(v) for k, v in metrics.items()}
             logger.log(step_idx, host_metrics)
         if on_step is not None:
-            on_step(step_idx, metrics)
+            on_step(step_idx, metrics, state)
         if checkpoint_manager is not None and step_idx % save_steps == 0:
             checkpoint_manager.save(
                 step_idx,
