@@ -133,9 +133,14 @@ def config_from_hf(hf: dict, dtype=jnp.bfloat16) -> tuple[ModelFamily, VLMConfig
             family="qwen_vl",
         )
     elif family.name == "internlm_xc2":
+        base = FAMILIES["internlm_xc2"].make_config(dtype)
+        img_size = hf.get("img_size", base.vision.image_size)
+        n_tok = (img_size // base.vision.patch_size) ** 2
         cfg = dataclasses.replace(
-            FAMILIES["internlm_xc2"].make_config(dtype),
+            base,
             lm=_llama_lm_from_hf(hf, dtype),
+            vision=dataclasses.replace(base.vision, image_size=img_size),
+            num_image_tokens=n_tok,
         )
     elif family.name == "instructblip":
         tc, vc, qc = hf["text_config"], hf["vision_config"], hf["qformer_config"]

@@ -142,14 +142,17 @@ def _internlm_xc2_7b(dtype=jnp.bfloat16) -> VLMConfig:
             max_position_embeddings=32768, rms_eps=1e-5, dtype=dtype,
         ),
         vision=ViTConfig(
-            image_size=336, patch_size=14, hidden_size=1024, num_layers=24,
-            num_heads=16, mlp_dim=4096, act="quick_gelu", feature_layer=-1,
+            # CLIP-L/14 tower run at 490px: XC2 resizes the 24x24 pos grid to
+            # 35x35 at load (build_mlp.py:67-100), so 1225 patch tokens.
+            image_size=490, patch_size=14, hidden_size=1024, num_layers=24,
+            num_heads=16, mlp_dim=4096, act="quick_gelu",
+            feature_layer=-1,  # select_layer=-1, pre-post-layernorm output
             use_post_norm=False,  # freeze_vision identity-fies post_layernorm
             drop_class_token=True, dtype=dtype,
         ),
         projector=ProjectorConfig(kind="mlp2x_gelu", in_dim=1024, out_dim=4096),
         image_token_id=92544 - 1,  # <ImageHere> added token (resolved at port)
-        num_image_tokens=576,
+        num_image_tokens=35 * 35,
         plora=True,
         family="internlm_xc2",
     )
@@ -242,7 +245,7 @@ FAMILIES: dict[str, ModelFamily] = {
         make_config=_internlm_xc2_7b,
         template=TEMPLATES["internlm_xc2"],
         processor_defaults=dict(
-            num_image_tokens=576, image_token="<ImageHere>",
+            num_image_tokens=35 * 35, image_token="<ImageHere>",
             image_token_id=92543,
         ),
         # wqkv+wo+w1/w2/w3 (models/InternLMXC2/__init__.py:250-251)
