@@ -291,3 +291,44 @@ def test_qformer_ids_threaded_through():
     batch = coll([row, row])
     assert batch["qformer_input_ids"].shape[0] == 2
     assert batch["qformer_mask"].shape == batch["qformer_input_ids"].shape
+
+
+def test_instructblip_prefix_image_tokens():
+    """Prefix-embedding model: image tokens PREPENDED (before BOS), expanding
+    to num_image_tokens at positions 0..N-1 (reference InstructBlip
+    query-embeds prepend)."""
+    from vlrlhf_tpu.data.chat_templates import TEMPLATES
+    from vlrlhf_tpu.data.processor import ProcessorConfig, VLProcessor
+    from vlrlhf_tpu.data.tokenizer import ToyTokenizer
+
+    p = VLProcessor(
+        ToyTokenizer(),
+        TEMPLATES["instructblip"],
+        ProcessorConfig(num_image_tokens=4, image_token="<image>",
+                        image_token_id=3, max_length=64,
+                        prefix_image_tokens=True),
+    )
+    row = p.tokenize_row_dpo(
+        {"prompt": "what is it", "chosen": "a cat", "rejected": "a dog",
+         "img_path": "x.jpg"}
+    )
+    ids, labels, pos = p.expand_image_tokens(
+        row["chosen_input_ids"], row["chosen_labels"]
+    )
+    np.testing.assert_array_equal(pos, np.arange(4))
+    assert (ids[:4] == 3).all()
+    assert ids[4] == p.tokenizer.bos_token_id  # BOS follows the image block
+    # text-only rows get no prefix
+    row2 = p.tokenize_row_dpo(
+        {"prompt": "hi", "chosen": "a", "rejected": "b"}
+    )
+    _, _, pos2 = p.expand_image_tokens(
+        row2["chosen_input_ids"], row2["chosen_labels"]
+    )
+    assert len(pos2) == 0
+
+    sft = p.tokenize_row_sft(
+        {"prompt": "what", "answer": "yes", "img_path": "x.jpg"}
+    )
+    ids3, _, pos3 = p.expand_image_tokens(sft["input_ids"], sft["labels"])
+    np.testing.assert_array_equal(pos3, np.arange(4))

@@ -50,6 +50,11 @@ class ProcessorConfig:
     image_start_id: Optional[int] = None
     image_end_id: Optional[int] = None
     image_pad_id: Optional[int] = None  # defaults to image_token_id
+    # Prefix-embedding models (InstructBLIP): the prompt text has NO
+    # placeholder; one image token is PREPENDED to the sequence (before BOS)
+    # and expands to num_image_tokens, matching the reference's query-embeds
+    # prepend (models/InstructBlip/__init__.py:32-74).
+    prefix_image_tokens: bool = False
 
 
 def make_single_turn_conv(prompt: str, answer: str = "") -> list[dict]:
@@ -290,6 +295,12 @@ class VLProcessor:
         rejected_ids = rejected_prompt + rejected_ans
         chosen_labels = [LABEL_PAD] * len(chosen_prompt) + chosen_ans
         rejected_labels = [LABEL_PAD] * len(rejected_prompt) + rejected_ans
+        if cfg.prefix_image_tokens and n_images:
+            pre = [cfg.image_token_id] * n_images
+            chosen_ids = pre + chosen_ids
+            rejected_ids = pre + rejected_ids
+            chosen_labels = [LABEL_PAD] * n_images + chosen_labels
+            rejected_labels = [LABEL_PAD] * n_images + rejected_labels
         out = {
             "chosen_input_ids": chosen_ids,
             "chosen_labels": chosen_labels,
@@ -365,6 +376,9 @@ class VLProcessor:
         if self.template.assistant_end == "" and self.tokenizer.eos_token_id is not None:
             ids = ids + [self.tokenizer.eos_token_id]
             labels = labels + [self.tokenizer.eos_token_id]
+        if self.cfg.prefix_image_tokens and n_images:
+            ids = [self.cfg.image_token_id] * n_images + ids
+            labels = [LABEL_PAD] * n_images + labels
         ids = ids[: self.cfg.max_length]
         labels = labels[: self.cfg.max_length]
         out = {

@@ -261,7 +261,8 @@ FAMILIES: dict[str, ModelFamily] = {
         make_config=_instructblip_vicuna_7b,
         template=TEMPLATES["instructblip"],
         processor_defaults=dict(
-            num_image_tokens=32, image_token="<image>", image_token_id=32000
+            num_image_tokens=32, image_token="<image>", image_token_id=32000,
+            prefix_image_tokens=True,
         ),
         lora_targets=LM_ALL_LINEARS,
         freeze_vision_patterns=(r"^vision/", r"^projector/", r"^qformer/"),
