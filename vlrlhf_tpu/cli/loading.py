@@ -199,10 +199,28 @@ def load_model_bundle(
     params = PORTERS[family.name](sd, cfg)
     params = cast_tree(params, dtype)
     tokenizer = HFTokenizer.from_pretrained(path, trust_remote_code=True)
-    processor = make_processor(
-        family,
-        tokenizer,
-        max_length=max_length,
-        max_prompt_length=max_prompt_length,
+    overrides: dict = dict(
+        max_length=max_length, max_prompt_length=max_prompt_length
     )
+    if family.name == "internlm_xc2":
+        # the reference ADDS <ImageHere> as a special token at load
+        # (models/InternLMXC2/__init__.py:304); resolve its real id.
+        tokenizer.tok.add_tokens("<ImageHere>", special_tokens=True)
+        tokenizer.vocab_size = len(tokenizer.tok)
+        img_id = tokenizer.convert_token_to_id("<ImageHere>")
+        overrides["image_token_id"] = img_id
+        cfg = dataclasses.replace(cfg, image_token_id=img_id)
+    processor = make_processor(family, tokenizer, **overrides)
+    if family.name == "instructblip":
+        # second tokenizer for the Q-Former instructions (bert vocab)
+        try:
+            from transformers import AutoTokenizer
+
+            processor.qformer_tokenizer = HFTokenizer(
+                AutoTokenizer.from_pretrained(
+                    os.path.join(path, "qformer_tokenizer")
+                )
+            )
+        except Exception:
+            pass
     return family, cfg, params, processor
