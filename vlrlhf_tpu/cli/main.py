@@ -489,9 +489,11 @@ def cmd_ppo(args):
             conv = make_single_turn_conv(
                 processor.format_multimodal_prompt(r["prompt"], n_img), ""
             )
+            ids = processor.maybe_prefix_image_ids(
+                processor.process_conv(conv)["input_ids"], n_img
+            )
             prompt_rows.append(
-                {"input_ids": processor.process_conv(conv)["input_ids"],
-                 "img_path": r.get("img_path")}
+                {"input_ids": ids, "img_path": r.get("img_path")}
             )
         pb = gen_collator(prompt_rows)
         gen = Generator(

@@ -87,6 +87,13 @@ class VLProcessor:
             :max_len
         ]
 
+    def maybe_prefix_image_ids(self, input_ids: list, n_images: int) -> list:
+        """Prefix-embedding models: prepend one placeholder per image (the
+        generation/eval path analog of the tokenize_row prepend)."""
+        if self.cfg.prefix_image_tokens and n_images:
+            return [self.cfg.image_token_id] * n_images + list(input_ids)
+        return list(input_ids)
+
     # ─────────── prompt formatting ───────────
 
     def format_multimodal_prompt(self, prompt: str, n_images: int = 1) -> str:

@@ -62,7 +62,8 @@ class EvalRunner:
         prompt = self.processor.format_multimodal_prompt(question, n_img)
         conv = make_single_turn_conv(prompt, "")
         out = self.processor.process_conv(conv)
-        return {"input_ids": out["input_ids"], "img_path": img_path}
+        ids = self.processor.maybe_prefix_image_ids(out["input_ids"], n_img)
+        return {"input_ids": ids, "img_path": img_path}
 
     def run_vqa(
         self,
