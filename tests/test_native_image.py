@@ -62,3 +62,25 @@ def test_native_loader_fallback_on_png(tmp_path):
     Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(p)
     out = native_image_loader(p, 16, "squash")
     assert out.shape == (16, 16, 3)
+
+
+def test_collator_uses_native_batch_path(jpeg_files):
+    """Default collator pipeline decodes JPEG batches through the native
+    thread pool and matches per-image loading."""
+    from tests.test_data import make_processor
+    from vlrlhf_tpu.data.collators import CollatorConfig, SFTCollator
+
+    p = make_processor()
+    coll = SFTCollator(
+        p, CollatorConfig(pad_token_id=0, bucket_multiple=16, image_size=32)
+    )
+    rows = [
+        p.tokenize_row_sft({"prompt": "q", "answer": "a", "img_path": f})
+        for f in jpeg_files[:2]
+    ]
+    batch = coll(rows)
+    assert batch["pixel_values"].shape == (2, 1, 32, 32, 3)
+    from vlrlhf_tpu.data.native_image import load_image
+
+    want = load_image(jpeg_files[0], 32, "shortest_edge_crop")
+    np.testing.assert_array_equal(batch["pixel_values"][0, 0], want)

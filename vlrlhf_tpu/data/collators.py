@@ -79,20 +79,46 @@ class _CollatorBase:
     ):
         self.processor = processor
         self.cfg = cfg
-        self.image_loader = image_loader or default_image_loader
+        # None = default pipeline (native batch decode when available,
+        # PIL otherwise); a custom callable disables the native fast path.
+        self.image_loader = image_loader
 
     def _load_images(self, img_paths: Sequence) -> np.ndarray:
-        """(B, max_images, H, W, 3) uint8; missing slots zeroed."""
+        """(B, max_images, H, W, 3) uint8; missing slots zeroed.
+
+        When every image is a JPEG and no custom loader is set, the whole
+        batch decodes through the native thread pool in one call (GIL-free,
+        native/imageops.cpp)."""
         b = len(img_paths)
         s = self.cfg.image_size
-        out = np.zeros((b, self.cfg.max_images, s, s, 3), np.uint8)
+        flat: list = []
+        slots: list[tuple[int, int]] = []
         for i, paths in enumerate(img_paths):
             if paths is None:
                 continue
             if isinstance(paths, str):
                 paths = [paths]
             for j, p in enumerate(paths[: self.cfg.max_images]):
-                out[i, j] = self.image_loader(p, s, self.cfg.resize_mode)
+                flat.append(p)
+                slots.append((i, j))
+
+        out = np.zeros((b, self.cfg.max_images, s, s, 3), np.uint8)
+        if not flat:
+            return out
+        if self.image_loader is None and all(
+            isinstance(p, str) and p.lower().endswith((".jpg", ".jpeg"))
+            for p in flat
+        ):
+            from vlrlhf_tpu.data.native_image import load_batch
+
+            decoded = load_batch(flat, s, self.cfg.resize_mode)
+            if decoded is not None:
+                for (i, j), img in zip(slots, decoded):
+                    out[i, j] = img
+                return out
+        loader = self.image_loader or default_image_loader
+        for (i, j), p in zip(slots, flat):
+            out[i, j] = loader(p, s, self.cfg.resize_mode)
         return out
 
     def _anyres_meta(self, img_paths: Sequence):
