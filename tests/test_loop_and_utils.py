@@ -182,3 +182,22 @@ def test_grad_accumulation_matches_full_batch():
     for a, b in zip(jax.tree.leaves(accum_trainable),
                     jax.tree.leaves(full_trainable)):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)
+
+
+def test_prefetch_iterator_order_and_errors():
+    from vlrlhf_tpu.train.loop import prefetch_iterator
+
+    items = [{"i": i} for i in range(20)]
+    out = list(prefetch_iterator(iter(items), depth=3))
+    assert out == items
+
+    def boom():
+        yield {"i": 0}
+        raise RuntimeError("loader died")
+
+    import pytest
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == {"i": 0}
+    with pytest.raises(RuntimeError, match="loader died"):
+        list(it)
