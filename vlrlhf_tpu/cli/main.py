@@ -78,10 +78,17 @@ def _synthetic_bundle(args):
 
     family = FAMILIES[args.model_family]
     cfg = scale_down(family.make_config())
+    tok = ToyTokenizer()
+    # The model's vocab must cover the tokenizer's id space: out-of-vocab
+    # labels would NaN the loss gathers (scale_down defaults to 256 for
+    # test speed; ToyTokenizer emits ids up to 4096).
+    if cfg.lm.vocab_size < tok.vocab_size:
+        cfg = dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, vocab_size=tok.vocab_size)
+        )
     from vlrlhf_tpu.models.vlm import init_vlm_params
 
     params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
-    tok = ToyTokenizer()
     overrides = dict(family.processor_defaults)
     overrides.update(
         num_image_tokens=cfg.num_image_tokens,
@@ -250,6 +257,9 @@ def cmd_dpo(args):
         beta=args.beta, label_smoothing=args.label_smoothing,
         loss_type=args.loss_type, lora_scale=lcfg.scale,
         frozen_vision=args.freeze_vision_tower,
+        reference_free=args.reference_free,
+        lora_dropout=args.lora_dropout if args.use_lora else 0.0,
+        dropout_seed=args.seed,
     )
     step = make_dpo_step(cfg, dcfg, tx)
     ccfg = CollatorConfig(
@@ -267,13 +277,38 @@ def cmd_dpo(args):
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
     from vlrlhf_tpu.train.loop import prefetch_iterator
 
+    tokenize_fn = processor.tokenize_row_dpo
+    if args.precompute_ref_logps and not dcfg.reference_free:
+        # One adapter-off pass over the dataset now; every train step then
+        # skips the ref forward (TRL's precompute_ref_log_probs).
+        from vlrlhf_tpu.train.dpo import precompute_ref_logps
+
+        rows = precompute_ref_logps(
+            cfg, dcfg, params, rows, processor.tokenize_row_dpo, collator,
+            batch_size=args.per_device_train_batch_size,
+        )
+
+        def tokenize_fn(r, _inner=processor.tokenize_row_dpo):
+            out = _inner(r)
+            out["ref_chosen_logp"] = r["ref_chosen_logp"]
+            out["ref_rejected_logp"] = r["ref_rejected_logp"]
+            return out
+
     batches = prefetch_iterator(batch_iterator(
-        rows, processor.tokenize_row_dpo, collator,
+        rows, tokenize_fn, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
     ))
     run_name = args.run_name or "dpo"
+    from vlrlhf_tpu.train.flops import dpo_flops_per_token, vision_flops_per_image
+
     logger = MetricsLogger(
-        args.output_dir, run_name, tuple(args.report_to.split(","))
+        args.output_dir, run_name, tuple(args.report_to.split(",")),
+        flops_per_token=dpo_flops_per_token(
+            cfg, args.max_length,
+            ref_forward=not (dcfg.reference_free or args.precompute_ref_logps),
+        ),
+        flops_per_image=vision_flops_per_image(cfg.vision),
+        n_chips=jax.device_count(),
     )
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     state, start_step = _maybe_resume(args, state, ckpt)
@@ -324,7 +359,15 @@ def cmd_sft(args):
     )
     tx = make_optimizer(ocfg, adapters)
     state = init_train_state(adapters, tx)
-    step = make_sft_step(cfg, SFTConfig(lora_scale=lcfg.scale), tx)
+    step = make_sft_step(
+        cfg,
+        SFTConfig(
+            lora_scale=lcfg.scale,
+            lora_dropout=args.lora_dropout if args.use_lora else 0.0,
+            dropout_seed=args.seed,
+        ),
+        tx,
+    )
     ccfg = CollatorConfig(
         pad_token_id=processor.tokenizer.pad_token_id or 0,
         bucket_multiple=128 if not args.synthetic else 32,
@@ -343,8 +386,13 @@ def cmd_sft(args):
         rows, processor.tokenize_row_sft, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
     ))
+    from vlrlhf_tpu.train.flops import sft_flops_per_token, vision_flops_per_image
+
     logger = MetricsLogger(args.output_dir, args.run_name or "sft",
-                           tuple(args.report_to.split(",")))
+                           tuple(args.report_to.split(",")),
+                           flops_per_token=sft_flops_per_token(cfg, args.max_length),
+                           flops_per_image=vision_flops_per_image(cfg.vision),
+                           n_chips=jax.device_count())
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     state, start_step = _maybe_resume(args, state, ckpt)
     state = run_training(
@@ -377,7 +425,15 @@ def cmd_rm(args):
     }
     tx = make_optimizer(ocfg, trainable)
     state = init_train_state(trainable, tx)
-    step = make_rm_step(cfg, RMConfig(lora_scale=lcfg.scale), tx)
+    step = make_rm_step(
+        cfg,
+        RMConfig(
+            lora_scale=lcfg.scale,
+            lora_dropout=args.lora_dropout if args.use_lora else 0.0,
+            dropout_seed=args.seed,
+        ),
+        tx,
+    )
     ccfg = CollatorConfig(
         pad_token_id=processor.tokenizer.pad_token_id or 0,
         bucket_multiple=128 if not args.synthetic else 32,
@@ -396,8 +452,13 @@ def cmd_rm(args):
         rows, processor.tokenize_row_dpo, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
     ))
+    from vlrlhf_tpu.train.flops import rm_flops_per_token, vision_flops_per_image
+
     logger = MetricsLogger(args.output_dir, args.run_name or "rm",
-                           tuple(args.report_to.split(",")))
+                           tuple(args.report_to.split(",")),
+                           flops_per_token=rm_flops_per_token(cfg, args.max_length),
+                           flops_per_image=vision_flops_per_image(cfg.vision),
+                           n_chips=jax.device_count())
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     state, start_step = _maybe_resume(args, state, ckpt)
     state = run_training(
@@ -606,6 +667,12 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--label_smoothing", type=float, default=0.0)
             p.add_argument("--loss_type", type=str, default="sigmoid",
                            choices=["sigmoid", "hinge", "ipo", "kto_pair", "ddpo"])
+            p.add_argument("--reference_free",
+                           type=lambda x: x.lower() == "true", default=False)
+            p.add_argument("--precompute_ref_logps",
+                           type=lambda x: x.lower() == "true", default=False,
+                           help="one adapter-off pass caches ref logps; train "
+                                "steps skip the ref forward (~20%% faster)")
         if name == "ppo":
             p.add_argument("--reward_model_path", type=str, default=None)
             p.add_argument("--init_kl_coef", type=float, default=0.2)

@@ -218,8 +218,14 @@ def lm_forward(
 
     def body(carry, xs):
         x = carry
-        lp, la, ck, cv = xs
-        lctx = dataclasses.replace(layer_ctx, adapters=la)
+        lp, la, li, ck, cv = xs
+        rng = layer_ctx.dropout_rng
+        if rng is not None:
+            # Distinct dropout stream per layer: the scanned body sees one Ctx,
+            # so without this every layer would draw identical LoRA-dropout
+            # masks.
+            rng = jax.random.fold_in(rng, li)
+        lctx = dataclasses.replace(layer_ctx, adapters=la, dropout_rng=rng)
         h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
         attn_out, new_kv = _attention_block(
             cfg,
@@ -253,6 +259,7 @@ def lm_forward(
     xs = (
         params["layers_scanned"],
         layer_ctx.adapters,
+        jnp.arange(cfg.num_layers),
         cache["k"] if cache is not None else None,
         cache["v"] if cache is not None else None,
     )

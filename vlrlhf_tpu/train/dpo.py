@@ -43,6 +43,11 @@ class DPOConfig:
     loss_type: str = "sigmoid"  # sigmoid | ddpo | hinge | ipo | kto_pair
     reference_free: bool = False
     lora_scale: float = 0.25  # alpha/r
+    # LoRA dropout on the POLICY forward only; the ref forward is adapter-off
+    # so it is untouched by construction (the reference's peft dropout,
+    # /root/reference/src/vlrlhf/utils/auto_load.py:560-571).
+    lora_dropout: float = 0.0
+    dropout_seed: int = 0
     # vision tower frozen -> encode images once, reuse across chosen/rejected
     # and policy/ref forwards.
     frozen_vision: bool = True
@@ -50,6 +55,23 @@ class DPOConfig:
     @property
     def average_log_prob(self) -> bool:
         return self.loss_type == "ipo"
+
+
+def _tile_pair_images(batch: dict) -> dict:
+    """Duplicate per-pair image inputs to the 2B [chosen; rejected] layout.
+
+    Needed when the vision tower runs INSIDE the forward (frozen_vision=False
+    — the reference's --freeze_vision_tower False path, concatenated_inputs
+    duplicates image tensors, trainer.py:124-146). pixel_values etc. arrive
+    per pair (B rows); input_ids are 2B."""
+    out = dict(batch)
+    n2 = batch["input_ids"].shape[0]
+    for k in ("pixel_values", "anyres_gather", "qformer_input_ids",
+              "qformer_mask"):
+        v = batch.get(k)
+        if v is not None and v.shape[0] * 2 == n2:
+            out[k] = jnp.concatenate([v, v], axis=0)
+    return out
 
 
 def _forward_logps(
@@ -118,6 +140,10 @@ def dpo_step_fn(
             feats = feats.reshape(b, n_img * model_cfg.num_image_tokens, -1)
         image_features = jnp.concatenate([feats, feats], axis=0)
         image_features = jax.lax.stop_gradient(image_features)
+    elif batch.get("pixel_values") is not None:
+        # Unfrozen tower: the tower runs inside each forward; tile the
+        # per-pair image inputs to the 2B concatenated layout.
+        batch = _tile_pair_images(batch)
 
     # Reference forward: adapters OFF == frozen base policy. Skipped entirely
     # when reference_free (or when the batch carries precomputed ref logps —
@@ -135,8 +161,21 @@ def dpo_step_fn(
         ref_logps = jax.lax.stop_gradient(ref_logps)
         ref_chosen, ref_rejected = ref_logps[:n_pairs], ref_logps[n_pairs:]
 
+    dropout_rng = None
+    if dpo_cfg.lora_dropout > 0.0:
+        # Deterministic per-step stream: resume at step k replays step k's
+        # masks, keeping the bit-exact-resume invariant.
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(dpo_cfg.dropout_seed), state.step
+        )
+
     def loss_fn(trainable):
-        ctx = Ctx(adapters=trainable, lora_scale=dpo_cfg.lora_scale)
+        ctx = Ctx(
+            adapters=trainable,
+            lora_scale=dpo_cfg.lora_scale,
+            dropout_rng=dropout_rng,
+            lora_dropout=dpo_cfg.lora_dropout,
+        )
         logps, logits = _forward_logps(
             model_cfg, base_params, batch, ctx, dpo_cfg, image_features
         )

@@ -78,6 +78,8 @@ def run_training(
     """Drive the jitted step over batches; returns the final state."""
     step_idx = start_step
     pending_metrics = None
+    interval_tokens = 0
+    interval_images = 0
     for batch in batches:
         if batch_sharding is not None:
             batch = jax.tree.map(
@@ -85,9 +87,18 @@ def run_training(
             )
         state, metrics = step_fn(state, base_params, batch)
         step_idx += 1
+        ids = batch.get("input_ids")
+        if ids is not None:
+            interval_tokens += int(np.prod(ids.shape))
+        pv = batch.get("pixel_values")
+        if pv is not None:
+            interval_images += int(np.prod(pv.shape[:2]))
         if logger is not None and step_idx % logging_steps == 0:
             # one host sync per logging interval, not per step
             host_metrics = {k: float(v) for k, v in metrics.items()}
+            host_metrics["perf/interval_tokens"] = interval_tokens
+            host_metrics["perf/interval_images"] = interval_images
+            interval_tokens = interval_images = 0
             logger.log(step_idx, host_metrics)
         if on_step is not None:
             on_step(step_idx, metrics, state)

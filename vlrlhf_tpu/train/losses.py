@@ -46,7 +46,11 @@ def batch_logps(
     # gather - logsumexp instead of materializing a (B,S,V) f32 log_softmax:
     # the f32 cast fuses into the reduction, halving logits HBM traffic.
     lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
-    tok = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    # mode="clip": an out-of-vocab label (tokenizer/config mismatch) must not
+    # hit jit's OOB NaN-fill — same defensive convention as common.embed.
+    tok = jnp.take_along_axis(
+        logits, safe_labels[..., None], axis=-1, mode="clip"
+    )[..., 0]
     per_token = (tok.astype(jnp.float32) - lse) * mask
     if average_log_prob:
         return per_token.sum(-1) / jnp.maximum(mask.sum(-1), 1)
@@ -126,7 +130,9 @@ def sft_loss(
         mask = mask & pad_mask[:, 1:].astype(bool)
     safe = jnp.where(mask, labels, 0)
     logps = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logps, safe[..., None], axis=-1)[..., 0]
+    nll = -jnp.take_along_axis(logps, safe[..., None], axis=-1, mode="clip")[
+        ..., 0
+    ]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 

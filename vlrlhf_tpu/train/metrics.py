@@ -30,6 +30,8 @@ class MetricsLogger:
         wandb_project: Optional[str] = None,
         flops_per_step: Optional[float] = None,
         tokens_per_step: Optional[int] = None,
+        flops_per_token: Optional[float] = None,
+        flops_per_image: Optional[float] = None,
         n_chips: int = 1,
     ):
         os.makedirs(output_dir, exist_ok=True)
@@ -37,6 +39,11 @@ class MetricsLogger:
         self._file = open(self.path, "a")
         self.flops_per_step = flops_per_step
         self.tokens_per_step = tokens_per_step
+        # Per-token accounting (bucketed batches have varying seq): the loop
+        # reports actual interval token/image counts via the reserved
+        # perf/interval_tokens / perf/interval_images metrics.
+        self.flops_per_token = flops_per_token
+        self.flops_per_image = flops_per_image
         self.n_chips = n_chips
         self._last_t: Optional[float] = None
         self._wandb = None
@@ -60,8 +67,18 @@ class MetricsLogger:
             out["perf/step_time_s"] = dt
             if self.tokens_per_step:
                 out["perf/tokens_per_sec"] = self.tokens_per_step / dt
+            interval_tokens = out.pop("perf/interval_tokens", None)
+            interval_images = out.pop("perf/interval_images", 0.0)
+            flops = None
             if self.flops_per_step:
-                out["perf/mfu"] = self.flops_per_step / dt / (
+                flops = self.flops_per_step
+            elif self.flops_per_token and interval_tokens:
+                flops = self.flops_per_token * interval_tokens
+                if self.flops_per_image:
+                    flops += self.flops_per_image * interval_images
+                out["perf/tokens_per_sec"] = interval_tokens / dt
+            if flops is not None:
+                out["perf/mfu"] = flops / dt / (
                     peak_flops_per_chip() * self.n_chips
                 )
         self._last_t = now

@@ -27,6 +27,8 @@ PyTree = Any
 @dataclasses.dataclass(frozen=True)
 class RMConfig:
     lora_scale: float = 0.25
+    lora_dropout: float = 0.0
+    dropout_seed: int = 0
 
 
 def rm_scores(
@@ -85,8 +87,19 @@ def rm_step_fn(
             jnp.concatenate([feats, feats], axis=0)
         )
 
+    dropout_rng = None
+    if rm_cfg.lora_dropout > 0.0:
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(rm_cfg.dropout_seed), state.step
+        )
+
     def loss_fn(trainable):
-        ctx = Ctx(adapters=trainable["adapters"], lora_scale=rm_cfg.lora_scale)
+        ctx = Ctx(
+            adapters=trainable["adapters"],
+            lora_scale=rm_cfg.lora_scale,
+            dropout_rng=dropout_rng,
+            lora_dropout=rm_cfg.lora_dropout,
+        )
         scores = rm_scores(
             model_cfg, base_params, trainable["rm_head"], batch, ctx,
             image_features,

@@ -26,6 +26,8 @@ PyTree = Any
 class SFTConfig:
     lora_scale: float = 0.25
     mode: str = "adapter"  # 'adapter' | 'full'
+    lora_dropout: float = 0.0
+    dropout_seed: int = 0
 
 
 def sft_step_fn(
@@ -36,10 +38,21 @@ def sft_step_fn(
     base_params: Optional[PyTree],
     batch: dict,
 ):
+    dropout_rng = None
+    if sft_cfg.lora_dropout > 0.0 and sft_cfg.mode == "adapter":
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(sft_cfg.dropout_seed), state.step
+        )
+
     def loss_fn(trainable):
         if sft_cfg.mode == "adapter":
             params = base_params
-            ctx = Ctx(adapters=trainable, lora_scale=sft_cfg.lora_scale)
+            ctx = Ctx(
+                adapters=trainable,
+                lora_scale=sft_cfg.lora_scale,
+                dropout_rng=dropout_rng,
+                lora_dropout=sft_cfg.lora_dropout,
+            )
         else:
             params = trainable
             ctx = Ctx()
