@@ -553,9 +553,12 @@ def cmd_ppo(args):
             ids = processor.maybe_prefix_image_ids(
                 processor.process_conv(conv)["input_ids"], n_img
             )
-            prompt_rows.append(
-                {"input_ids": ids, "img_path": r.get("img_path")}
-            )
+            prow = {"input_ids": ids, "img_path": r.get("img_path")}
+            if processor.qformer_tokenizer is not None:
+                # InstructBLIP rollouts: instruction-conditioned Q-Former
+                # (models/InstructBlip/__init__.py:76-160).
+                prow["qformer_input_ids"] = processor.qformer_ids(r["prompt"])
+            prompt_rows.append(prow)
         pb = gen_collator(prompt_rows)
         gen = Generator(
             cfg,

@@ -63,7 +63,14 @@ class EvalRunner:
         conv = make_single_turn_conv(prompt, "")
         out = self.processor.process_conv(conv)
         ids = self.processor.maybe_prefix_image_ids(out["input_ids"], n_img)
-        return {"input_ids": ids, "img_path": img_path}
+        row = {"input_ids": ids, "img_path": img_path}
+        if self.processor.qformer_tokenizer is not None:
+            # InstructBLIP: the Q-Former is instruction-aware — generation
+            # must condition it on the question (the reference's custom
+            # generate, models/InstructBlip/__init__.py:76-160). Round 1 ran
+            # it query-only here.
+            row["qformer_input_ids"] = self.processor.qformer_ids(question)
+        return row
 
     def run_vqa(
         self,
@@ -102,13 +109,16 @@ class EvalRunner:
         if self._ce_fn is None:
             cfg = self.model_cfg
 
-            def ce(params, input_ids, labels, pad_mask, pixel_values, image_positions):
+            def ce(params, input_ids, labels, pad_mask, pixel_values,
+                   image_positions, qformer_ids, qformer_mask):
                 logits, _ = vlm_forward(
                     cfg,
                     params,
                     input_ids=input_ids,
                     pixel_values=pixel_values,
                     image_positions=image_positions,
+                    qformer_ids=qformer_ids,
+                    qformer_mask=qformer_mask,
                     pad_mask=pad_mask,
                 )
                 lg = logits[:, :-1].astype(jnp.float32)
@@ -116,10 +126,16 @@ class EvalRunner:
                 mask = lb != -100
                 safe = jnp.where(mask, lb, 0)
                 logps = jax.nn.log_softmax(lg, axis=-1)
-                nll = -jnp.take_along_axis(logps, safe[..., None], axis=-1)[..., 0]
+                nll = -jnp.take_along_axis(
+                    logps, safe[..., None], axis=-1, mode="clip"
+                )[..., 0]
                 return jnp.sum(nll * mask, -1) / jnp.maximum(mask.sum(-1), 1)
 
             self._ce_fn = jax.jit(ce)
+        def opt(key):
+            v = batch.get(key)
+            return None if v is None else jnp.asarray(v)
+
         return np.asarray(
             self._ce_fn(
                 self.params,
@@ -128,6 +144,8 @@ class EvalRunner:
                 jnp.asarray(batch["pad_mask"]),
                 jnp.asarray(batch["pixel_values"]),
                 jnp.asarray(batch["image_positions"]),
+                opt("qformer_input_ids"),
+                opt("qformer_mask"),
             )
         )
 

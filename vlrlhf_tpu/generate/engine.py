@@ -61,6 +61,8 @@ def _generate_impl(
     pixel_values: Optional[jax.Array],
     image_positions: Optional[jax.Array],
     anyres_gather: Optional[jax.Array],
+    qformer_ids: Optional[jax.Array],
+    qformer_mask: Optional[jax.Array],
     rng: jax.Array,
     adapters: Optional[PyTree],
     lora_scale: float,
@@ -83,6 +85,8 @@ def _generate_impl(
         pixel_values=pixel_values,
         image_positions=image_positions,
         anyres_gather=anyres_gather,
+        qformer_ids=qformer_ids,
+        qformer_mask=qformer_mask,
         pad_mask=pad_mask,
         positions=positions,
         ctx=ctx,
@@ -273,6 +277,12 @@ class Generator:
             None
             if batch.get("anyres_gather") is None
             else jnp.asarray(batch["anyres_gather"]),
+            None
+            if batch.get("qformer_input_ids") is None
+            else jnp.asarray(batch["qformer_input_ids"]),
+            None
+            if batch.get("qformer_mask") is None
+            else jnp.asarray(batch["qformer_mask"]),
             rng,
             self.adapters,
             self.lora_scale,
