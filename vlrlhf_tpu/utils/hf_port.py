@@ -347,7 +347,9 @@ def port_llava(sd: StateDict, cfg: VLMConfig) -> PyTree:
 
 
 def port_qwen_vl(sd: StateDict, cfg: VLMConfig) -> PyTree:
-    vision, projector = port_qwen_visual(sd, cfg.vision.num_layers)
+    vision, projector = port_qwen_visual(
+        sd, cfg.vision.num_layers, vis_heads=cfg.vision.num_heads
+    )
     return {
         "vision": vision,
         "projector": projector,
