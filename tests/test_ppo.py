@@ -154,3 +154,69 @@ def test_ppo_with_separate_value_adapter():
         for kp, g in flat if str(kp[-1]).endswith("'b')")
     )
     assert b_moved or any(float(jnp.linalg.norm(g)) > 0 for _, g in flat)
+
+
+def test_minibatched_epochs_match_fullbatch_when_mb_equals_b():
+    """minibatch_size == batch => ppo_update_epochs is exactly ppo_epochs
+    sequential full-batch updates (TRL's loop degenerates to ours)."""
+    from vlrlhf_tpu.train.ppo import ppo_update_epochs
+
+    cfg, params, lcfg, ppo_cfg, state, stats_fn, update_fn = _setup()
+    gen = Generator(
+        cfg, GenerateConfig(max_new_tokens=4, do_sample=True, pad_token_id=PAD),
+        adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+    )
+    pb = _prompts(b=4)
+    tokens = gen(params, pb, rng=jax.random.PRNGKey(3))
+    batch = rollout_to_batch(pb, tokens, PAD)
+    stats = stats_fn(params, state.trainable, batch, _reward(batch),
+                     jnp.asarray(0.05))
+
+    # reference: manual epochs on a fresh state
+    _, _, _, _, state_a, _, update_a = _setup()
+    for _ in range(ppo_cfg.ppo_epochs):
+        state_a, m_a = update_a(state_a, params, batch, stats)
+
+    _, _, _, _, state_b, _, update_b = _setup()
+    mb_cfg = PPOConfig(lora_scale=lcfg.scale, ppo_epochs=ppo_cfg.ppo_epochs,
+                       minibatch_size=4)  # == b
+    state_b, m_b = ppo_update_epochs(
+        update_b, state_b, params, batch, stats, mb_cfg, seed=0
+    )
+    np.testing.assert_allclose(
+        float(m_a["ppo/loss/total"]), float(m_b["ppo/loss/total"]), atol=1e-6
+    )
+    la = jax.tree_util.tree_leaves(state_a.trainable)
+    lb = jax.tree_util.tree_leaves(state_b.trainable)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_minibatched_epochs_take_more_optimizer_steps():
+    """minibatch_size b/2 => 2 optimizer steps per epoch (opt step count =
+    ppo_epochs * n_minibatches), matching TRL's update cadence."""
+    from vlrlhf_tpu.train.ppo import ppo_update_epochs
+
+    cfg, params, lcfg, _, state, stats_fn, update_fn = _setup()
+    gen = Generator(
+        cfg, GenerateConfig(max_new_tokens=4, do_sample=True, pad_token_id=PAD),
+        adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+    )
+    pb = _prompts(b=4)
+    tokens = gen(params, pb, rng=jax.random.PRNGKey(3))
+    batch = rollout_to_batch(pb, tokens, PAD)
+    stats = stats_fn(params, state.trainable, batch, _reward(batch),
+                     jnp.asarray(0.05))
+    mb_cfg = PPOConfig(lora_scale=lcfg.scale, ppo_epochs=3, minibatch_size=2)
+    state, m = ppo_update_epochs(
+        update_fn, state, params, batch, stats, mb_cfg, seed=0
+    )
+    assert int(state.step) == 3 * 2  # epochs * minibatches
+    assert np.isfinite(float(m["ppo/loss/total"]))
+
+
+def test_skip_consensus_single_process():
+    from vlrlhf_tpu.core.dist import any_process_failed
+
+    assert any_process_failed(True) is True
+    assert any_process_failed(False) is False

@@ -503,9 +503,20 @@ def cmd_ppo(args):
         "adapters": adapters,
         "v_head": {"kernel": jnp.zeros((cfg.lm.hidden_size, 1))},
     }
+    if args.use_value_adapter:
+        # Separate LoRA set for the value function (the reference's
+        # use_value_adapter, ppo.py:151-170 + base/model.py:72-100).
+        from vlrlhf_tpu.lora.lora import init_lora
+
+        trainable["value_adapters"] = init_lora(
+            params, lcfg, jax.random.PRNGKey(args.seed + 1)
+        )
     tx = make_optimizer(ocfg, trainable)
     state = init_train_state(trainable, tx)
-    ppo_cfg = PPOConfig(lora_scale=lcfg.scale, init_kl_coef=args.init_kl_coef)
+    ppo_cfg = PPOConfig(
+        lora_scale=lcfg.scale, init_kl_coef=args.init_kl_coef,
+        ppo_epochs=args.ppo_epochs, minibatch_size=args.minibatch_size,
+    )
     stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
     kl_ctl = AdaptiveKLController(ppo_cfg)
 
@@ -550,7 +561,18 @@ def cmd_ppo(args):
     pad_id = processor.tokenizer.pad_token_id or 0
     bs = args.per_device_train_batch_size
     n_steps = args.max_steps or max(len(rows) // bs, 1)
+    from vlrlhf_tpu.core.dist import any_process_failed
     from vlrlhf_tpu.data.processor import make_single_turn_conv
+
+    # ONE Generator for the whole run: adapters are call arguments of the
+    # compiled program, so updating .adapters per step reuses the compilation.
+    gen = Generator(
+        cfg,
+        GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=True,
+                       temperature=1.0, pad_token_id=pad_id),
+        adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+    )
+    chunk_sz = max(1, min(args.rollout_chunk_size, bs))
 
     for it in range(n_steps):
         chunk = rows[(it * bs) % len(rows) : (it * bs) % len(rows) + bs]
@@ -572,20 +594,40 @@ def cmd_ppo(args):
                 prow["qformer_input_ids"] = processor.qformer_ids(r["prompt"])
             prompt_rows.append(prow)
         pb = gen_collator(prompt_rows)
-        gen = Generator(
-            cfg,
-            GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=True,
-                           temperature=1.0, pad_token_id=pad_id),
-            adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+        gen.adapters = state.trainable["adapters"]
+        failed = False
+        try:
+            # Chunked rollouts (the reference's generate(batch_size=32),
+            # base/trainer.py:437-443): same bucketed prompt length across
+            # chunks -> one compiled program.
+            parts = []
+            for cs in range(0, bs, chunk_sz):
+                sub = {
+                    k: v[cs : cs + chunk_sz] if hasattr(v, "shape") else v
+                    for k, v in pb.items()
+                }
+                rng, krng = jax.random.split(rng)
+                parts.append(np.asarray(gen(params, sub, rng=krng)))
+            tokens = np.concatenate(parts, axis=0)
+            batch = rollout_to_batch(pb, tokens, pad_id)
+            scores = reward_fn(batch)
+            stats = stats_fn(params, state.trainable, batch, scores,
+                             jnp.asarray(kl_ctl.value))
+            float(stats.kl)  # force rollout errors to surface here
+        except Exception as e:  # noqa: BLE001 — consensus skip, not crash
+            print(f"rollout/reward failed at step {it + 1}: {e}")
+            failed = True
+        if any_process_failed(failed):
+            # Every rank skips together so collectives stay aligned
+            # (base/trainer.py:462-482).
+            logger.log(it + 1, {"ppo/skipped": 1.0})
+            continue
+        from vlrlhf_tpu.train.ppo import ppo_update_epochs
+
+        state, metrics = ppo_update_epochs(
+            update_fn, state, params, batch, stats, ppo_cfg,
+            seed=args.seed + it,
         )
-        rng, krng = jax.random.split(rng)
-        tokens = gen(params, pb, rng=krng)
-        batch = rollout_to_batch(pb, tokens, pad_id)
-        scores = reward_fn(batch)
-        stats = stats_fn(params, state.trainable, batch, scores,
-                         jnp.asarray(kl_ctl.value))
-        for _ in range(ppo_cfg.ppo_epochs):
-            state, metrics = update_fn(state, params, batch, stats)
         kl_ctl.update(float(stats.kl), len(chunk))
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["ppo/mean_score"] = float(jnp.mean(scores))
@@ -703,6 +745,13 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--reward_model_path", type=str, default=None)
             p.add_argument("--init_kl_coef", type=float, default=0.2)
             p.add_argument("--max_new_tokens", type=int, default=32)
+            p.add_argument("--ppo_epochs", type=int, default=4)
+            p.add_argument("--minibatch_size", type=int, default=0,
+                           help="inner-update minibatch (0 = full batch)")
+            p.add_argument("--rollout_chunk_size", type=int, default=32)
+            p.add_argument("--use_value_adapter",
+                           type=lambda x: x.lower() == "true", default=False,
+                           help="separate LoRA set for the value function")
 
     p = sub.add_parser("eval")
     _common_args(p)

@@ -59,6 +59,18 @@ def sync_global_devices(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def any_process_failed(local_fail: bool) -> bool:
+    """Skip-batch consensus: True iff ANY process hit a failure this step —
+    every rank then skips the same batch, keeping collectives aligned (the
+    reference's gather_object vote, base/trainer.py:462-482)."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return bool(local_fail)
+    flags = process_allgather(np.asarray([int(local_fail)], np.int32))
+    return bool(np.asarray(flags).sum() > 0)
+
+
 @contextlib.contextmanager
 def main_process_first(name: str = "main_first"):
     """Rank-0 runs the body first (dataset cache builds), others wait —

@@ -302,6 +302,47 @@ def rollout_to_batch(
     return out
 
 
+def _take_rows(x, idx, b):
+    if x is None or not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != b:
+        return x
+    return jnp.take(jnp.asarray(x), idx, axis=0)
+
+
+def ppo_update_epochs(
+    update_fn,
+    state: TrainState,
+    base_params: PyTree,
+    batch: dict,
+    stats: RolloutStats,
+    ppo_cfg: PPOConfig,
+    seed: int = 0,
+):
+    """TRL's inner loop (trl 0.8.1 PPOTrainer.step): for each of ppo_epochs,
+    shuffle the rollout batch and take one optimizer step per minibatch of
+    `minibatch_size` (0 = full batch). The reference exposes minibatch_size
+    via PPOConfig (/root/reference/src/vlrlhf/ppo.py:72-119); round 1 ran
+    full-batch only. Remainder rows (< one minibatch) are dropped within an
+    epoch to keep compiled shapes static; the permutation re-draws per epoch
+    so no row is systematically excluded."""
+    import numpy as np
+
+    b = batch["input_ids"].shape[0]
+    mb = min(ppo_cfg.minibatch_size, b) if ppo_cfg.minibatch_size else b
+    n_mb = b // mb
+    rng = np.random.default_rng(seed)
+    metrics: dict = {}
+    for _ in range(ppo_cfg.ppo_epochs):
+        perm = rng.permutation(b)[: n_mb * mb]
+        for m in range(n_mb):
+            idx = jnp.asarray(perm[m * mb : (m + 1) * mb])
+            mb_batch = {k: _take_rows(v, idx, b) for k, v in batch.items()}
+            mb_stats = RolloutStats(
+                *[_take_rows(f, idx, b) for f in stats]
+            )
+            state, metrics = update_fn(state, base_params, mb_batch, mb_stats)
+    return state, metrics
+
+
 class AdaptiveKLController:
     """TRL's adaptive KL controller (proportional, clipped)."""
 
