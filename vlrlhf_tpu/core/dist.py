@@ -59,6 +59,44 @@ def sync_global_devices(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def gather_objects(objs: list) -> list:
+    """Multi-host gather of arbitrary JSON-serializable objects (eval result
+    rows contain STRINGS — multihost_utils.process_allgather handles array
+    pytrees only, so round 1's direct call would have failed on real
+    multi-process runs).
+
+    Mechanism: JSON-encode the local shard to a uint8 buffer, allgather
+    (after agreeing on the max length), decode every process's shard and
+    concatenate in process order. shard_rows_for_process hands out contiguous
+    shards by process index, so concatenation restores dataset order — the
+    reference's gather_for_metrics ordering contract (eval/utils.py:76-77).
+    """
+    if jax.process_count() == 1:
+        return list(objs)
+    import json
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    def _default(o):
+        if hasattr(o, "item"):
+            return o.item()
+        return str(o)
+
+    payload = json.dumps(objs, default=_default).encode()
+    local_len = np.asarray([len(payload)], np.int64)
+    lens = np.asarray(
+        multihost_utils.process_allgather(local_len)
+    ).reshape(-1)
+    buf = np.zeros((int(lens.max()),), np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    all_bufs = np.asarray(multihost_utils.process_allgather(buf))
+    out: list = []
+    for i in range(jax.process_count()):
+        out.extend(json.loads(bytes(all_bufs[i, : int(lens[i])]).decode()))
+    return out
+
+
 def any_process_failed(local_fail: bool) -> bool:
     """Skip-batch consensus: True iff ANY process hit a failure this step —
     every rank then skips the same batch, keeping collectives aligned (the

@@ -327,8 +327,10 @@ def run_benchmark(
     `accelerate launch -m vlrlhf.eval.<bench>.eval && calculate.py`."""
     bench = BENCHMARKS[name]
     rows = bench.load_rows(data_file, image_root=image_root)
-    # multi-host: each process evaluates its shard; results allgather below
-    from vlrlhf_tpu.core.dist import is_main_process, process_allgather
+    # multi-host: each process evaluates its contiguous shard; results are
+    # gathered with the string-safe object gather (process order == dataset
+    # order, matching gather_for_metrics, eval/utils.py:76-77).
+    from vlrlhf_tpu.core.dist import gather_objects, is_main_process
     from vlrlhf_tpu.data.datasets import shard_rows_for_process
 
     rows = shard_rows_for_process(rows)
@@ -336,13 +338,7 @@ def run_benchmark(
         results = runner.run_vqa_ppl(rows, batch_size=batch_size, progress=progress)
     else:
         results = runner.run_vqa(rows, batch_size=batch_size, progress=progress)
-    import jax as _jax
-
-    if _jax.process_count() > 1:
-        gathered = process_allgather(results)
-        results = [r for shard in gathered for r in shard] if isinstance(
-            gathered[0], list
-        ) else results
+    results = gather_objects(results)
     metrics = bench.score(results)
     if output_json and is_main_process():
         from vlrlhf_tpu.eval.db import save_results_json
