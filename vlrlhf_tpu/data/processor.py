@@ -100,6 +100,24 @@ class VLProcessor:
         ph = self.template.image_placeholder
         if n_images == 0:
             return prompt
+        if self.cfg.image_start_id is not None:
+            # Wrapped mode (Qwen-VL): reproduce the reference's surrounding
+            # text exactly (QwenVLProcessor.format_multimodal_prompt,
+            # models/QwenVL/__init__.py:192-206) — "Picture 1: <img>…</img>\n"
+            # for a bare single-image prompt, "<img>…</img>\n" per "<image>"
+            # otherwise. The reference embeds the image PATH between the
+            # tags; those in-span ids are overwritten by visual features in
+            # the forward, so a single placeholder token (expanded to the
+            # same span length by expand_image_tokens) is logits-equivalent.
+            # "<image>" markers in the raw prompt are generic (cfg.image_token
+            # is the tokenizer-special surface form, e.g. "<imgpad>").
+            if n_images == 1 and "<image>" not in prompt:
+                return f"Picture 1: {self.cfg.image_token}\n{prompt}"
+            assert prompt.count("<image>") == n_images, (
+                f"{n_images} images but prompt has "
+                f"{prompt.count('<image>')} placeholders"
+            )
+            return prompt.replace("<image>", f"{self.cfg.image_token}\n")
         if n_images == 1 and self.cfg.image_token not in prompt:
             return ph + prompt
         assert prompt.count(self.cfg.image_token) == n_images, (
