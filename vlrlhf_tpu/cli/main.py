@@ -335,6 +335,40 @@ def cmd_dpo(args):
             for i in range(0, len(eval_rows), args.per_device_train_batch_size)
         ]
 
+        # Eval-time sample generation (the reference's get_batch_samples,
+        # base/trainer.py:310-360): greedy policy + ref generations on a few
+        # holdout prompts, logged to <output_dir>/dpo_samples.jsonl.
+        sample_gen = None
+        sample_batch = None
+        if args.eval_samples > 0:
+            from vlrlhf_tpu.data.collators import GenerationCollator
+            from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+
+            gcoll = GenerationCollator(processor, ccfg, collator.image_loader)
+            sample_rows = []
+            for r in eval_rows[: args.eval_samples]:
+                n_img = 1 if r.get("img_path") else 0
+                from vlrlhf_tpu.data.processor import make_single_turn_conv
+
+                conv = make_single_turn_conv(
+                    processor.format_multimodal_prompt(r["prompt"], n_img), ""
+                )
+                ids = processor.maybe_prefix_image_ids(
+                    processor.process_conv(conv)["input_ids"], n_img
+                )
+                sample_rows.append(
+                    {"input_ids": ids, "img_path": r.get("img_path")}
+                )
+            sample_batch = gcoll(sample_rows)
+            sample_gen = Generator(
+                cfg,
+                GenerateConfig(
+                    max_new_tokens=64,
+                    pad_token_id=processor.tokenizer.pad_token_id or 0,
+                ),
+                lora_scale=lcfg.scale,
+            )
+
         def on_step(step_idx, _metrics, cur_state):
             if step_idx % args.eval_steps:
                 return
@@ -344,6 +378,25 @@ def cmd_dpo(args):
                 for k, v in m.items():
                     agg.setdefault(k, []).append(float(v))
             logger.log(step_idx, {k: float(np.mean(v)) for k, v in agg.items()})
+            if sample_gen is not None:
+                import json as _json
+
+                sample_gen.adapters = cur_state.trainable
+                pol = np.asarray(sample_gen(params, sample_batch))
+                sample_gen.adapters = None  # ref = adapter-off
+                ref = np.asarray(sample_gen(params, sample_batch))
+                pad = processor.tokenizer.pad_token_id or 0
+                with open(
+                    os.path.join(args.output_dir, "dpo_samples.jsonl"), "a"
+                ) as f:
+                    for i, r in enumerate(eval_rows[: args.eval_samples]):
+                        dec = lambda t: processor.tokenizer.decode(
+                            t[t != pad].tolist(), skip_special_tokens=True
+                        )
+                        f.write(_json.dumps({
+                            "step": step_idx, "prompt": r["prompt"],
+                            "policy": dec(pol[i]), "ref": dec(ref[i]),
+                        }) + "\n")
 
     state = run_training(
         step, state, params, batches, logger, ckpt,
@@ -741,6 +794,9 @@ def build_parser() -> argparse.ArgumentParser:
                            type=lambda x: x.lower() == "true", default=False,
                            help="one adapter-off pass caches ref logps; train "
                                 "steps skip the ref forward (~20%% faster)")
+            p.add_argument("--eval_samples", type=int, default=0,
+                           help="generate N policy+ref samples from the "
+                                "holdout at each eval (get_batch_samples)")
         if name == "ppo":
             p.add_argument("--reward_model_path", type=str, default=None)
             p.add_argument("--init_kl_coef", type=float, default=0.2)
