@@ -68,3 +68,73 @@ def test_ring_grads_flow():
     for gr, gf in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), atol=5e-5,
                                    rtol=5e-4)
+
+
+def test_lm_forward_sequence_parallel_option_matches_plain():
+    """LMConfig.sequence_parallel_axis (VERDICT r1 item 10): the full decoder
+    forward under ring attention must match the plain forward — including GQA
+    (kv heads repeated before the ring) and padding."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlrlhf_tpu.core.mesh import MeshConfig, make_mesh
+    from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params, lm_forward
+
+    make_mesh(MeshConfig(data=1, fsdp=8, model=1))  # registers global mesh
+    cfg = LMConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, dtype=jnp.float32,
+        remat=False,
+    )
+    params = init_lm_params(cfg, jax.random.PRNGKey(0))
+    b, s = 2, 32  # seq divisible by the 8-way axis
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, 128)
+    pad = jnp.asarray(np.arange(s)[None, :] < np.asarray([s, s - 5])[:, None])
+
+    plain, _ = lm_forward(cfg, params, input_ids=ids, pad_mask=pad)
+    sp_cfg = dataclasses.replace(cfg, sequence_parallel_axis="fsdp")
+    ring, _ = lm_forward(sp_cfg, params, input_ids=ids, pad_mask=pad)
+    np.testing.assert_allclose(
+        np.asarray(ring)[np.asarray(pad)], np.asarray(plain)[np.asarray(pad)],
+        atol=2e-4, rtol=2e-3,
+    )
+
+
+def test_sequence_parallel_dpo_step_runs_on_mesh():
+    """End-to-end: a DPO step with sequence-parallel attention compiles and
+    runs on the virtual mesh, loss finite and equal to log(2) at step 0."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_dpo_step import _setup, tiny_batch, tiny_vlm_config
+    from vlrlhf_tpu.core.mesh import MeshConfig, make_mesh
+    from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig, init_train_state, make_optimizer,
+    )
+
+    make_mesh(MeshConfig(data=1, fsdp=8, model=1))
+    base = tiny_vlm_config()
+    cfg = dataclasses.replace(
+        base, lm=dataclasses.replace(base.lm, sequence_parallel_axis="fsdp")
+    )
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=4, alpha=8.0, target_patterns=(r"lm/.*attn/",))
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10),
+        adapters,
+    )
+    state = init_train_state(adapters, tx)
+    step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
+    batch = tiny_batch(jax.random.PRNGKey(2), n_pairs=2, seq=48)
+    _, m = step(state, params, batch)
+    np.testing.assert_allclose(float(m["loss"]), np.log(2.0), atol=1e-5)

@@ -67,6 +67,9 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--sequence_parallel_axis", type=str, default="",
+                   help="shard the sequence over this mesh axis with ring "
+                        "attention (long-context training; e.g. 'model')")
     # hermetic smoke mode
     p.add_argument("--synthetic", type=int, default=0,
                    help="use a tiny model + N synthetic rows (no checkpoint)")
@@ -123,13 +126,25 @@ def _synthetic_rows(n: int, with_pairs: bool = True):
 
 def _load_bundle(args):
     if args.synthetic:
-        return _synthetic_bundle(args)
-    from vlrlhf_tpu.cli.loading import load_model_bundle
+        bundle = _synthetic_bundle(args)
+    else:
+        from vlrlhf_tpu.cli.loading import load_model_bundle
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    return load_model_bundle(
-        args.model_name_or_path, dtype, args.max_length, args.max_prompt_length
-    )
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        bundle = load_model_bundle(
+            args.model_name_or_path, dtype, args.max_length,
+            args.max_prompt_length,
+        )
+    if getattr(args, "sequence_parallel_axis", ""):
+        family, cfg, params, processor = bundle
+        cfg = dataclasses.replace(
+            cfg,
+            lm=dataclasses.replace(
+                cfg.lm, sequence_parallel_axis=args.sequence_parallel_axis
+            ),
+        )
+        bundle = (family, cfg, params, processor)
+    return bundle
 
 
 def _load_rows(args, with_pairs=True):

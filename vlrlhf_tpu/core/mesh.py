@@ -26,6 +26,26 @@ from jax.sharding import Mesh
 
 AXES = ("data", "fsdp", "model")
 
+# The process-wide mesh, registered by make_mesh. Ops that need the physical
+# Mesh object (shard_map users like ops/ring_attention) fetch it here — model
+# configs stay plain data and forward functions stay mesh-agnostic.
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Mesh) -> Mesh:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+    return mesh
+
+
+def get_global_mesh() -> Mesh:
+    if _GLOBAL_MESH is None:
+        raise RuntimeError(
+            "No global mesh registered — call core.mesh.make_mesh() (or "
+            "set_global_mesh) before using sequence-parallel attention."
+        )
+    return _GLOBAL_MESH
+
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
@@ -73,7 +93,7 @@ def make_mesh(
     except (ValueError, AssertionError):
         # Non-toroidal device counts (e.g. CPU simulation) — plain reshape.
         dev_mesh = np.asarray(devices).reshape(shape)
-    return Mesh(dev_mesh, AXES)
+    return set_global_mesh(Mesh(dev_mesh, AXES))
 
 
 def local_mesh(n: int | None = None) -> Mesh:

@@ -53,6 +53,11 @@ class LMConfig:
     o_bias: bool = False
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    # Sequence parallelism (ring attention over this mesh axis) for
+    # long-context training — the declared TPU-native extension (SURVEY.md §5
+    # long-context; the reference maxes out at seq 2048 with none). Empty =
+    # off. Applies to the training forward only (decode uses the KV cache).
+    sequence_parallel_axis: str = ""
     remat: bool = True
     # 'full' recomputes everything in bwd; 'dots' saves matmul outputs
     # (heaviest HBM); 'attn' saves only each layer's attention output
@@ -166,6 +171,27 @@ def _attention_block(
                 attend = attend & pad_mask[:, :, None].astype(bool)
             out = reference_attention(q, ck, cv, mask=attend[:, None])
         new_cache = (ck, cv)
+    elif cfg.sequence_parallel_axis:
+        # Ring attention: sequence sharded over the named mesh axis, K/V
+        # blocks rotate via ppermute (ops/ring_attention.py).
+        assert segment_ids is None, (
+            "sequence-parallel attention does not support segment ids"
+        )
+        from vlrlhf_tpu.core.mesh import get_global_mesh
+        from vlrlhf_tpu.ops.attention import _repeat_kv
+        from vlrlhf_tpu.ops.ring_attention import ring_attention
+
+        n_rep = nh // nkv
+        out = ring_attention(
+            q,
+            _repeat_kv(k, n_rep),
+            _repeat_kv(v, n_rep),
+            mesh=get_global_mesh(),
+            axis_name=cfg.sequence_parallel_axis,
+            causal=True,
+            pad_mask=pad_mask,
+        )
+        new_cache = None
     else:
         out = multi_head_attention(
             q,
