@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from vlrlhf_tpu.models.common import Ctx, embed
-from vlrlhf_tpu.models.lm.llama import lm_forward
+from vlrlhf_tpu.models.lm.llama import lm_decode, lm_forward
 from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
 from vlrlhf_tpu.ops.sampling import sample_tokens
 
@@ -110,25 +110,39 @@ def _generate_impl(
 
     out0 = jnp.full((b, gen_cfg.max_new_tokens), gen_cfg.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(jnp.where(done0, gen_cfg.pad_token_id, first_token))
+    # Transpose the prefill cache (L, B, Sc, nkv, hd) to the head-major
+    # DECODE layout (L, B, nkv, Sc, hd) — once per generation call; the
+    # decode-attention kernel then reads contiguous (Sc, hd) stripes.
+    cache = {
+        "k": jnp.transpose(cache["k"], (0, 1, 3, 2, 4)),
+        "v": jnp.transpose(cache["v"], (0, 1, 3, 2, 4)),
+    }
     return cache, prompt_lens, first_token, done0, out0
+
+
+def _empty_pending(lm, b: int, cache_len: int) -> dict:
+    """No-op pending write: pos == cache_len is out of bounds -> dropped."""
+    shape = (lm.num_layers, b, lm.num_kv_heads, lm.head_dim_)
+    return {
+        "k": jnp.zeros(shape, lm.dtype),
+        "v": jnp.zeros(shape, lm.dtype),
+        "pos": jnp.full((b,), cache_len, jnp.int32),
+    }
 
 
 def _decode_body(
     model_cfg, gen_cfg, params, ctx, eos,
-    cache, lengths, last_token, done, out, step, rng,
+    cache, pending, lengths, last_token, done, out, step, rng,
 ):
     """Shared single-token decode used by both loop modes."""
-    smax = cache["k"].shape[2]
-    positions = lengths[:, None]
-    kv_mask = jnp.arange(smax)[None, :] <= lengths[:, None]
-    logits, cache = lm_forward(
+    logits, cache, pending = lm_decode(
         model_cfg.lm,
         params["lm"],
-        input_ids=last_token[:, None],
-        positions=positions,
+        last_token=last_token,
+        lengths=lengths,
         cache=cache,
-        kv_mask=kv_mask,
         ctx=ctx.sub("lm"),
+        pending=pending,
     )
     rng, krng = jax.random.split(rng)
     next_token = sample_tokens(
@@ -145,7 +159,7 @@ def _decode_body(
     )
     new_done = done | jnp.any(next_token[:, None] == eos[None, :], axis=1)
     lengths = jnp.where(done, lengths, lengths + 1)
-    return cache, lengths, next_token, new_done, out, rng
+    return cache, pending, lengths, next_token, new_done, out, rng
 
 
 def _decode_many_impl(
@@ -168,20 +182,23 @@ def _decode_many_impl(
 
     def cond(carry):
         step = carry[0]
-        done = carry[4]
+        done = carry[5]
         return (step < n_new) & ~jnp.all(done)
 
     def body(carry):
-        step, cache, lengths, last_token, done, out, rng = carry
-        cache, lengths, last_token, done, out, rng = _decode_body(
+        step, cache, pending, lengths, last_token, done, out, rng = carry
+        cache, pending, lengths, last_token, done, out, rng = _decode_body(
             model_cfg, gen_cfg, params, ctx, eos,
-            cache, lengths, last_token, done, out, step, rng,
+            cache, pending, lengths, last_token, done, out, step, rng,
         )
-        return (step + 1, cache, lengths, last_token, done, out, rng)
+        return (step + 1, cache, pending, lengths, last_token, done, out, rng)
 
-    carry = (jnp.int32(1), cache, lengths, last_token, done, out, rng)
+    pending = _empty_pending(
+        model_cfg.lm, lengths.shape[0], cache["k"].shape[3]
+    )
+    carry = (jnp.int32(1), cache, pending, lengths, last_token, done, out, rng)
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[5]
+    return carry[6]
 
 
 def _decode_step_impl(
@@ -189,6 +206,7 @@ def _decode_step_impl(
     gen_cfg: GenerateConfig,
     params: PyTree,
     cache: dict,
+    pending: dict,
     lengths: jax.Array,
     last_token: jax.Array,
     done: jax.Array,
@@ -206,7 +224,7 @@ def _decode_step_impl(
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
     return _decode_body(
         model_cfg, gen_cfg, params, ctx, eos,
-        cache, lengths, last_token, done, out, step, rng,
+        cache, pending, lengths, last_token, done, out, step, rng,
     )
 
 
@@ -239,7 +257,7 @@ class Generator:
         if "decode" not in self._compiled:
             self._compiled["decode"] = jax.jit(
                 functools.partial(_decode_step_impl, self.model_cfg, self.gen_cfg),
-                donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+                donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
             )
         return self._compiled["decode"]
 
@@ -295,10 +313,13 @@ class Generator:
                 self.adapters, self.lora_scale,
             )
         decode = self._decode_fn()
+        pending = _empty_pending(
+            self.model_cfg.lm, lengths.shape[0], cache["k"].shape[3]
+        )
         # slot `prompt_lens` holds the first generated token; loop writes 1..
         for step in range(1, self.gen_cfg.max_new_tokens):
-            cache, lengths, last_token, done, out, rng = decode(
-                params, cache, lengths, last_token, done, out,
+            cache, pending, lengths, last_token, done, out, rng = decode(
+                params, cache, pending, lengths, last_token, done, out,
                 jnp.int32(step), rng, self.adapters, self.lora_scale,
             )
             if (
