@@ -1,8 +1,21 @@
-"""Benchmark: DPO preference-pairs/sec/chip on the flagship VLM.
+"""Benchmark: DPO preference-pairs/sec/chip at the 7B north-star shape.
 
-Measures the full jitted DPO step (policy fwd+bwd + adapter-off ref fwd +
-frozen vision tower + optimizer) on synthetic data at the reference recipe's
-shape (seq 1024, /root/reference/README.md:102-104). Prints ONE JSON line.
+Measures the full jitted DPO step at two shapes on the attached chip:
+  - HEADLINE: LLaVA-1.5-7B geometry (hidden 4096 / 32L / ff 11008 + CLIP-L
+    tower; 7.06B params = 13.2 GiB bf16), LoRA r64, seq 1024, precomputed
+    ref logps (--precompute_ref_logps mode: the in-step ref forward is
+    skipped). Largest fitting batch on a 16GB v5e is 1 pair/step; 2 pairs
+    fails at compile (BASELINE.md north star is pairs/sec/chip AT 7B).
+  - continuity: the round-1 1.5B flagship at 4 pairs/step with an online
+    (in-step, adapter-off) ref forward.
+
+MFU accounting (train/flops.py): LoRA-adapter training is 4N fwd+bwd (the
+frozen base has no dL/dW matmuls) + 2N per online ref forward — round 1 used
+6N+2N, inflating its MFU. `vs_baseline` is 0.0: the reference publishes NO
+throughput numbers (BASELINE.json.published == {}); the explicit
+`mfu_vs_40pct_target` field carries the only quantitative target we have.
+
+Prints ONE JSON line.
 """
 
 import json
@@ -33,12 +46,16 @@ def _compile_cache():
         pass
 
 
-def main():
-    _compile_cache()
-    on_tpu = jax.default_backend() == "tpu"
+def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref):
+    """Returns (pairs_per_sec, step_ms, mfu, params_b). NOTE:
+    block_until_ready does not synchronize over the axon tunnel; fetching a
+    value does."""
+    import numpy as np
+
     import __graft_entry__ as graft
     from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
     from vlrlhf_tpu.models.vlm import init_vlm_params
+    from vlrlhf_tpu.train import flops as F
     from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
     from vlrlhf_tpu.train.train_state import (
         OptimizerConfig,
@@ -46,15 +63,12 @@ def main():
         make_optimizer,
     )
 
-    if on_tpu:
-        cfg = graft._flagship_config(tiny=False)
-        n_pairs, seq = 4, 1024
-        n_steps, n_warmup = 10, 3
-    else:
-        cfg = graft._flagship_config(tiny=True)
-        n_pairs, seq = 2, 64
-        n_steps, n_warmup = 3, 1
-
+    n_params = sum(
+        int(np.prod(s.shape))
+        for s in jax.tree_util.tree_leaves(
+            jax.eval_shape(lambda k: init_vlm_params(cfg, k), jax.random.PRNGKey(0))
+        )
+    )
     # One compiled init program: eager per-op init is pathological over the
     # axon RPC tunnel (~15 ms/dispatch).
     params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
@@ -71,67 +85,87 @@ def main():
     state = init_train_state(adapters, tx)
     step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
     batch = graft._example_batch(cfg, n_pairs=n_pairs, seq=seq)
+    if precompute_ref:
+        batch["ref_chosen_logps"] = jnp.zeros((n_pairs,), jnp.float32)
+        batch["ref_rejected_logps"] = jnp.zeros((n_pairs,), jnp.float32)
 
-    # NOTE: block_until_ready does not synchronize over the axon tunnel;
-    # fetching the value does.
     state, metrics = step(state, params, batch)  # compile
     float(metrics["loss"])
     for _ in range(n_warmup):
         state, metrics = step(state, params, batch)
     float(metrics["loss"])
-
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, params, batch)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_steps
 
-    pairs_per_sec = n_pairs / dt
-
-    # FLOPs model: policy fwd+bwd (6NT) + ref fwd (2NT) over 2B*S tokens,
-    # causal attention at 0.5 occupancy, frozen vision tower fwd once.
-    def lm_matmul_params(c):
-        h, ff, L, v = c.hidden_size, c.intermediate_size, c.num_layers, c.vocab_size
-        attn = 2 * h * c.num_heads * c.head_dim_ + 2 * h * c.num_kv_heads * c.head_dim_
-        return L * (attn + 3 * h * ff) + h * v
-
     tokens = 2 * n_pairs * seq
-    n_lm = lm_matmul_params(cfg.lm)
-    lm_flops = (6 + 2) * n_lm * tokens
-    attn_flops = (
-        (3 + 1) * 0.5 * cfg.lm.num_layers * 4 * seq * seq
-        * cfg.lm.hidden_size * 2 * n_pairs * 2
-    ) / 2
-    vis_tokens = n_pairs * cfg.vision.seq_len
-    n_vis = cfg.vision.num_layers * (
-        4 * cfg.vision.hidden_size**2 + 2 * cfg.vision.hidden_size * cfg.vision.mlp_dim
+    total_flops = (
+        F.dpo_flops_per_token(
+            cfg, seq, ref_forward=not precompute_ref, train_mode="adapter"
+        )
+        * tokens
+        + F.vision_flops_per_image(cfg.vision) * n_pairs
     )
-    vis_flops = 2 * n_vis * vis_tokens
-    total_flops = lm_flops + attn_flops + vis_flops
-
-    gen = None
     import os
 
-    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e") if on_tpu else None
-    peak = PEAK_BF16_FLOPS.get(gen or "", 197e12)
-    mfu = total_flops / dt / peak if on_tpu else 0.0
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak = PEAK_BF16_FLOPS.get(gen, 197e12)
+    mfu = total_flops / dt / peak
+    return n_pairs / dt, dt * 1e3, mfu, n_params / 1e9
 
-    print(
-        json.dumps(
-            {
-                "metric": "dpo_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(mfu / 0.40, 3) if on_tpu else 0.0,
-                "mfu": round(mfu, 4),
-                "step_ms": round(dt * 1e3, 1),
-                "model": "llava-style 1.5B-LM + CLIP-L tower" if on_tpu else "tiny-cpu",
-                "seq": seq,
-                "pairs_per_step": n_pairs,
-                "backend": jax.default_backend(),
-            }
-        )
+
+def main():
+    _compile_cache()
+    on_tpu = jax.default_backend() == "tpu"
+    import __graft_entry__ as graft
+    from vlrlhf_tpu.models.registry import FAMILIES
+
+    if not on_tpu:
+        cfg = graft._flagship_config(tiny=True)
+        pps, ms, mfu, pb = _measure_dpo(cfg, 2, 64, 3, 1, False)
+        print(json.dumps({
+            "metric": "dpo_pairs_per_sec_per_chip", "value": round(pps, 3),
+            "unit": "pairs/s", "vs_baseline": 0.0, "backend": "cpu",
+            "model": "tiny-cpu",
+        }))
+        return
+
+    # HEADLINE: the 7B north star (largest fitting batch = 1 pair; 2 pairs
+    # fails at compile on 16GB v5e)
+    cfg7 = FAMILIES["llava"].make_config()
+    pps7, ms7, mfu7, pb7 = _measure_dpo(
+        cfg7, n_pairs=1, seq=1024, n_steps=10, n_warmup=3, precompute_ref=True
     )
+    # continuity: round-1 1.5B shape, online ref
+    cfg15 = graft._flagship_config(tiny=False)
+    pps15, ms15, mfu15, pb15 = _measure_dpo(
+        cfg15, n_pairs=4, seq=1024, n_steps=10, n_warmup=3, precompute_ref=False
+    )
+
+    print(json.dumps({
+        "metric": "dpo_pairs_per_sec_per_chip",
+        "value": round(pps7, 3),
+        "unit": "pairs/s",
+        # the reference publishes no throughput numbers
+        # (BASELINE.json.published == {}), so there is no real baseline ratio
+        "vs_baseline": 0.0,
+        "model": "llava-1.5-7b geometry (7.06B params, bf16)",
+        "pairs_per_step": 1,
+        "seq": 1024,
+        "step_ms": round(ms7, 1),
+        "mfu": round(mfu7, 4),
+        "mfu_vs_40pct_target": round(mfu7 / 0.40, 3),
+        "ref_logps": "precomputed",
+        "flops_accounting": "LoRA 4N fwd+bwd (frozen base: no dW matmuls)",
+        "continuity_1p5b": {
+            "pairs_per_sec": round(pps15, 3), "pairs_per_step": 4,
+            "step_ms": round(ms15, 1), "mfu": round(mfu15, 4),
+            "ref_logps": "online",
+        },
+        "backend": jax.default_backend(),
+    }))
 
 
 def main_eval():

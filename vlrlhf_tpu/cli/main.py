@@ -333,6 +333,7 @@ def cmd_dpo(args):
         flops_per_token=dpo_flops_per_token(
             cfg, args.max_length,
             ref_forward=not (dcfg.reference_free or args.precompute_ref_logps),
+            train_mode="adapter" if args.use_lora else "full",
         ),
         flops_per_image=vision_flops_per_image(cfg.vision),
         n_chips=jax.device_count(),
@@ -470,7 +471,9 @@ def cmd_sft(args):
 
     logger = MetricsLogger(args.output_dir, args.run_name or "sft",
                            tuple(args.report_to.split(",")),
-                           flops_per_token=sft_flops_per_token(cfg, args.max_length),
+                           flops_per_token=sft_flops_per_token(
+                               cfg, args.max_length,
+                               train_mode="adapter" if args.use_lora else "full"),
                            flops_per_image=vision_flops_per_image(cfg.vision),
                            n_chips=jax.device_count())
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
@@ -536,7 +539,9 @@ def cmd_rm(args):
 
     logger = MetricsLogger(args.output_dir, args.run_name or "rm",
                            tuple(args.report_to.split(",")),
-                           flops_per_token=rm_flops_per_token(cfg, args.max_length),
+                           flops_per_token=rm_flops_per_token(
+                               cfg, args.max_length,
+                               train_mode="adapter" if args.use_lora else "full"),
                            flops_per_image=vision_flops_per_image(cfg.vision),
                            n_chips=jax.device_count())
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))

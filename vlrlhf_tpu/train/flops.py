@@ -37,24 +37,34 @@ def vision_flops_per_image(vision) -> float:
     return 2 * n * vision.seq_len
 
 
-def dpo_flops_per_token(cfg, seq: int, ref_forward: bool = True) -> float:
-    """FLOPs per concatenated-batch token of one DPO step: policy fwd+bwd
-    (6N) + optional adapter-off ref fwd (2N) + attention. The frozen vision
-    tower is accounted separately (per image, not per token)."""
+def _bwd_mult(train_mode: str) -> int:
+    """fwd+bwd matmul multiplier. Full fine-tuning: 6N (fwd 2N + dL/dx 2N +
+    dL/dW 2N). LoRA-adapter training: 4N — the frozen base weights need NO
+    dL/dW matmuls; only the (negligible) adapter grads are computed. Round 1
+    used 6N for the adapter bench, inflating its MFU claim."""
+    return 4 if train_mode == "adapter" else 6
+
+
+def dpo_flops_per_token(
+    cfg, seq: int, ref_forward: bool = True, train_mode: str = "adapter"
+) -> float:
+    """FLOPs per concatenated-batch token of one DPO step: policy fwd+bwd +
+    optional adapter-off ref fwd (2N) + attention. The frozen vision tower
+    is accounted separately (per image, not per token)."""
     n_lm = lm_matmul_params(cfg.lm)
-    mat = 6 * n_lm + (2 * n_lm if ref_forward else 0)
+    mat = _bwd_mult(train_mode) * n_lm + (2 * n_lm if ref_forward else 0)
     attn = attention_flops_per_token(cfg.lm, seq, fwd_bwd=True)
     if ref_forward:
         attn += attention_flops_per_token(cfg.lm, seq, fwd_bwd=False)
     return mat + attn
 
 
-def sft_flops_per_token(cfg, seq: int) -> float:
-    return 6 * lm_matmul_params(cfg.lm) + attention_flops_per_token(
-        cfg.lm, seq, fwd_bwd=True
-    )
+def sft_flops_per_token(cfg, seq: int, train_mode: str = "adapter") -> float:
+    return _bwd_mult(train_mode) * lm_matmul_params(
+        cfg.lm
+    ) + attention_flops_per_token(cfg.lm, seq, fwd_bwd=True)
 
 
-def rm_flops_per_token(cfg, seq: int) -> float:
+def rm_flops_per_token(cfg, seq: int, train_mode: str = "adapter") -> float:
     # Same shape as SFT: one fwd+bwd over the [chosen; rejected] batch.
-    return sft_flops_per_token(cfg, seq)
+    return sft_flops_per_token(cfg, seq, train_mode)
