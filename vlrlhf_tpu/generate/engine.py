@@ -198,7 +198,8 @@ def _decode_many_impl(
     )
     carry = (jnp.int32(1), cache, pending, lengths, last_token, done, out, rng)
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[6]
+    # (cache, pending, lengths, out)
+    return carry[1], carry[2], carry[3], carry[6]
 
 
 def _decode_step_impl(
@@ -275,11 +276,15 @@ class Generator:
         batch: dict,
         rng: Optional[jax.Array] = None,
         early_exit_check_every: int = 8,
+        return_state: bool = False,
+        cache_len: Optional[int] = None,
     ) -> jax.Array:
-        """batch from GenerationCollator (right-padded). Returns (B, N) ids."""
+        """batch from GenerationCollator (right-padded). Returns (B, N) ids
+        (+ the live session state when return_state — see ChatSession).
+        `cache_len` reserves extra slots (multi-turn sessions)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         l = batch["input_ids"].shape[1]
-        cache_len = l + self.gen_cfg.max_new_tokens
+        cache_len = cache_len or (l + self.gen_cfg.max_new_tokens)
         fn = self._fn(cache_len)
         cache, lengths, last_token, done, out = fn(
             params,
@@ -305,13 +310,23 @@ class Generator:
             self.adapters,
             self.lora_scale,
         )
+        def _with_state(cache, pending, lengths, out):
+            state = {"cache": cache, "pending": pending, "lengths": lengths}
+            return (out, state) if return_state else out
+
         if self.gen_cfg.max_new_tokens <= 1:
+            if return_state:
+                pending = _empty_pending(
+                    self.model_cfg.lm, lengths.shape[0], cache["k"].shape[3]
+                )
+                return _with_state(cache, pending, lengths, out)
             return out
         if self.gen_cfg.decode_mode == "device":
-            return self._decode_many_fn()(
+            cache, pending, lengths, out = self._decode_many_fn()(
                 params, cache, lengths, last_token, done, out, rng,
                 self.adapters, self.lora_scale,
             )
+            return _with_state(cache, pending, lengths, out)
         decode = self._decode_fn()
         pending = _empty_pending(
             self.model_cfg.lm, lengths.shape[0], cache["k"].shape[3]
@@ -328,7 +343,7 @@ class Generator:
                 and bool(jax.device_get(jnp.all(done)))
             ):
                 break
-        return out
+        return _with_state(cache, pending, lengths, out)
 
 
 def generate(
@@ -341,3 +356,103 @@ def generate(
     lora_scale: float = 1.0,
 ) -> jax.Array:
     return Generator(model_cfg, gen_cfg, adapters, lora_scale)(params, batch, rng)
+
+
+def _extend_impl(
+    model_cfg: VLMConfig,
+    gen_cfg: GenerateConfig,
+    params: PyTree,
+    cache: dict,
+    pending: dict,
+    lengths: jax.Array,  # (B,) tokens currently in context
+    new_ids: jax.Array,  # (B, C) right-padded next-turn tokens
+    chunk_lens: jax.Array,  # (B,)
+    rng: jax.Array,
+    adapters: Optional[PyTree],
+    lora_scale: float,
+):
+    """Chunk-prefill a new turn into the live cache, sample the first
+    response token, decode to completion — all one dispatch."""
+    from vlrlhf_tpu.models.lm.llama import lm_prefill_chunk
+
+    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    b = new_ids.shape[0]
+    logits, cache, lengths = lm_prefill_chunk(
+        model_cfg.lm,
+        params["lm"],
+        input_ids=new_ids,
+        chunk_lens=chunk_lens,
+        lengths=lengths,
+        cache=cache,
+        ctx=ctx.sub("lm"),
+        pending=pending,
+    )
+    last_logits = jnp.take_along_axis(
+        logits, (chunk_lens - 1)[:, None, None], axis=1
+    )[:, 0]
+    rng, krng = jax.random.split(rng)
+    first_token = sample_tokens(
+        last_logits, krng, temperature=gen_cfg.temperature,
+        top_k=gen_cfg.top_k, top_p=gen_cfg.top_p, do_sample=gen_cfg.do_sample,
+    )
+    eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
+    done0 = jnp.any(first_token[:, None] == eos[None, :], axis=1)
+    out0 = jnp.full((b, gen_cfg.max_new_tokens), gen_cfg.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(jnp.where(done0, gen_cfg.pad_token_id, first_token))
+    cache, pending, lengths, out = _decode_many_impl(
+        model_cfg, gen_cfg, params, cache, lengths, first_token,
+        done0, out0, rng, adapters, lora_scale,
+    )
+    return cache, pending, lengths, out
+
+
+class ChatSession:
+    """Multi-turn serving over one cache (the reference's sglang-server role
+    with session reuse; round 1's engine re-prefilled from scratch per turn).
+
+    Flow: start(prompt_batch) decodes turn 1; extend(new_ids) chunk-prefills
+    the next turn's tokens (include the previous response's terminator — its
+    kv was never computed, so it must arrive as input) and decodes. Rows are
+    right-padded; all shapes bucketed per call."""
+
+    def __init__(self, generator: "Generator", cache_len: Optional[int] = None):
+        self.gen = generator
+        self.cache_len = cache_len  # total session budget (prompt+all turns)
+        self.state: Optional[dict] = None
+
+    def start(self, params: PyTree, batch: dict, rng=None) -> "jax.Array":
+        self._params = params
+        tokens, state = self.gen(
+            params, batch, rng=rng, return_state=True,
+            cache_len=self.cache_len,
+        )
+        self.state = state
+        return tokens
+
+    def extend(self, new_ids, chunk_lens, rng=None):
+        """new_ids (B, C) np right-padded; returns (B, max_new_tokens)."""
+        assert self.state is not None, "call start() first"
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        c = new_ids.shape[1]
+        key = ("extend", c)
+        if key not in self.gen._compiled:
+            self.gen._compiled[key] = jax.jit(
+                functools.partial(_extend_impl, self.gen.model_cfg,
+                                  self.gen.gen_cfg),
+            )
+        s = self.state
+        sc = s["cache"]["k"].shape[3]
+        needed = int(jnp.max(s["lengths"])) + c + self.gen.gen_cfg.max_new_tokens
+        if needed > sc:
+            raise ValueError(
+                f"session cache full: need {needed} slots, have {sc} — start "
+                "a new session with a larger cache (longer max_new_tokens "
+                "headroom) or trim the conversation"
+            )
+        cache, pending, lengths, out = self.gen._compiled[key](
+            self._params, s["cache"], s["pending"], s["lengths"],
+            jnp.asarray(new_ids), jnp.asarray(chunk_lens), rng,
+            self.gen.adapters, self.gen.lora_scale,
+        )
+        self.state = {"cache": cache, "pending": pending, "lengths": lengths}
+        return out

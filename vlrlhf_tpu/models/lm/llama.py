@@ -314,6 +314,95 @@ def lm_decode(
     return logits, {"k": ck_all, "v": cv_all}, new_pending
 
 
+def lm_prefill_chunk(
+    cfg: LMConfig,
+    params: PyTree,
+    *,
+    input_ids: jax.Array,  # (B, C) right-padded chunk (new turn's tokens)
+    chunk_lens: jax.Array,  # (B,) real tokens in this chunk
+    lengths: jax.Array,  # (B,) tokens already in the cache (chunk offset)
+    cache: dict,  # {"k": (L, B, nkv, Sc, hd), ...} — DECODE layout
+    ctx: Optional[Ctx] = None,
+    pending: Optional[dict] = None,  # deferred kv from a prior decode
+):
+    """Prefill a chunk into a NON-EMPTY cache (multi-turn serving — the
+    reference's sglang role has this; round 1's engine assumed an empty
+    cache). Chunk kv are written first, then chunk queries attend over the
+    whole cache with per-query position masking (dense masked attention:
+    chunks are short next to the cache, so the (B, H, C, Sc) scores are
+    affordable; a Pallas chunk kernel is a later optimization).
+
+    Returns (logits (B, C, V), new_cache, new_lengths)."""
+    ctx = ctx or Ctx()
+    b, c = input_ids.shape
+    sc = cache["k"].shape[3]
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    positions = lengths[:, None] + jnp.arange(c)[None, :]  # (B, C)
+    x = embed(params["embed_tokens"], input_ids, cfg.dtype)
+    cos, sin = rope_frequencies(cfg.rope, positions, seq_len=sc)
+    layer_ctx = ctx.sub("layers_scanned")
+    ck_all, cv_all = cache["k"], cache["v"]
+
+    if pending is not None:
+        li = jnp.arange(cfg.num_layers)[:, None, None]
+        pbi = jnp.arange(b)[None, :, None]
+        phi = jnp.arange(nkv)[None, None, :]
+        ppos = pending["pos"][None, :, None]
+        ck_all = ck_all.at[li, pbi, phi, ppos].set(pending["k"], mode="drop")
+        cv_all = cv_all.at[li, pbi, phi, ppos].set(pending["v"], mode="drop")
+
+    from vlrlhf_tpu.ops.attention import _repeat_kv, reference_attention
+
+    chunk_valid = jnp.arange(c)[None, :] < chunk_lens[:, None]  # (B, C)
+    # query at position p attends cache slots <= p; padded chunk rows inert
+    slot = jnp.arange(sc)[None, None, :]
+    attend = (slot <= positions[:, :, None]) & chunk_valid[:, :, None]
+    attend = attend[:, None]  # (B, 1, C, Sc)
+    bi = jnp.arange(b)[:, None, None]
+    hi = jnp.arange(nkv)[None, :, None]
+    # pad-row writes park at slot Sc (OOB -> dropped)
+    write_pos = jnp.where(chunk_valid, positions, sc)  # (B, C)
+
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers_scanned"])
+        la = None
+        if layer_ctx.adapters is not None:
+            la = jax.tree.map(lambda a: a[i], layer_ctx.adapters)
+        lctx = dataclasses.replace(layer_ctx, adapters=la)
+        actx = lctx.sub("attn")
+        h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
+        q = linear(lp["attn"]["wq"], h, actx.sub("wq")).reshape(b, c, nh, hd)
+        k = linear(lp["attn"]["wk"], h, actx.sub("wk")).reshape(b, c, nkv, hd)
+        v = linear(lp["attn"]["wv"], h, actx.sub("wv")).reshape(b, c, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        # write chunk kv: (B, nkv, C) slots
+        ck_all = ck_all.at[
+            i, bi, hi, write_pos[:, None, :]
+        ].set(jnp.transpose(k, (0, 2, 1, 3)).astype(ck_all.dtype), mode="drop")
+        cv_all = cv_all.at[
+            i, bi, hi, write_pos[:, None, :]
+        ].set(jnp.transpose(v, (0, 2, 1, 3)).astype(cv_all.dtype), mode="drop")
+        out = reference_attention(
+            q,
+            _repeat_kv(jnp.transpose(ck_all[i], (0, 2, 1, 3)), nh // nkv),
+            _repeat_kv(jnp.transpose(cv_all[i], (0, 2, 1, 3)), nh // nkv),
+            mask=attend,
+        )
+        out = linear(lp["attn"]["wo"], out.reshape(b, c, nh * hd), actx.sub("wo"))
+        x = x + out
+        h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_eps)
+        x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
+
+    hidden = rms_norm(x, params["norm"]["weight"], cfg.rms_eps)
+    if cfg.tie_embeddings:
+        logits = hidden @ params["embed_tokens"]["embedding"].astype(
+            hidden.dtype
+        ).T
+    else:
+        logits = linear(params["lm_head"], hidden, ctx.sub("lm_head"))
+    return logits, {"k": ck_all, "v": cv_all}, lengths + chunk_lens
+
+
 def lm_forward(
     cfg: LMConfig,
     params: PyTree,
