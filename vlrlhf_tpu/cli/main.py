@@ -759,11 +759,37 @@ def cmd_eval(args):
     if args.synthetic:
         runner.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
         runner.__post_init__()
+    judge = None
+    if args.judge_model_path:
+        # LLM choice-extraction fallback through OUR engine (the reference's
+        # lmdeploy judge server role) — one more checkpoint, not one more
+        # serving stack.
+        from vlrlhf_tpu.cli.loading import load_model_bundle
+        from vlrlhf_tpu.eval.judge import EngineJudge
+
+        jfam, jcfg, jparams, jproc = load_model_bundle(
+            args.judge_model_path,
+            jnp.bfloat16 if args.bf16 else jnp.float32,
+            args.max_length, args.max_prompt_length,
+        )
+        judge_runner = EvalRunner(
+            model_cfg=jcfg, params=jparams, processor=jproc,
+            gen_cfg=GenerateConfig(
+                max_new_tokens=4,
+                pad_token_id=jproc.tokenizer.pad_token_id or 0,
+            ),
+            collator_cfg=CollatorConfig(
+                pad_token_id=jproc.tokenizer.pad_token_id or 0,
+                bucket_multiple=128, image_size=jcfg.vision.image_size,
+            ),
+        )
+        judge = EngineJudge(judge_runner)
     metrics = run_benchmark(
         args.benchmark, runner, args.data_file, args.image_root,
         batch_size=args.per_device_train_batch_size,
         output_json=os.path.join(args.output_dir, f"{args.benchmark}.json"),
         sqlite_db=args.sqlite_db, tag=args.tag, progress=True,
+        judge=judge,
     )
     print(metrics)
 
@@ -836,6 +862,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--sqlite_db", type=str, default=None)
     p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--judge_model_path", type=str, default=None,
+                   help="checkpoint for the LLM choice-extraction judge "
+                        "(served by our own engine)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

@@ -322,6 +322,7 @@ def run_benchmark(
     sqlite_db: Optional[str] = None,
     tag: Optional[str] = None,
     progress: bool = False,
+    judge=None,  # eval.judge.EngineJudge: LLM fallback for choice extraction
 ) -> dict:
     """Load -> run (generate or ppl) -> score -> persist. The TPU analog of
     `accelerate launch -m vlrlhf.eval.<bench>.eval && calculate.py`."""
@@ -339,6 +340,12 @@ def run_benchmark(
     else:
         results = runner.run_vqa(rows, batch_size=batch_size, progress=progress)
     results = gather_objects(results)
+    if judge is not None and bench.mode != "ppl":
+        # two-stage extraction: deterministic first, LLM judge for the rest
+        # (the reference's lmdeploy judge role — eval/judge.py)
+        from vlrlhf_tpu.eval.judge import judge_unresolved
+
+        results = judge_unresolved(results, judge)
     metrics = bench.score(results)
     if output_json and is_main_process():
         from vlrlhf_tpu.eval.db import save_results_json
