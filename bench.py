@@ -1,13 +1,16 @@
 """Benchmark: DPO preference-pairs/sec/chip at the 7B north-star shape.
 
-Measures the full jitted DPO step at two shapes on the attached chip:
+Measures the full jitted DPO step at three configs on the attached chip:
   - HEADLINE: LLaVA-1.5-7B geometry (hidden 4096 / 32L / ff 11008 + CLIP-L
     tower; 7.06B params = 13.2 GiB bf16), LoRA r64, seq 1024, precomputed
     ref logps (--precompute_ref_logps mode: the in-step ref forward is
     skipped). Largest fitting batch on a 16GB v5e is 1 pair/step; 2 pairs
     fails at compile (BASELINE.md north star is pairs/sec/chip AT 7B).
+  - qlora_int8_7b: same geometry with the int8 frozen base (--q_lora,
+    ops/quant.py) + remat_policy 'acts' — the fastest 7B training mode
+    (halved param HBM pays for saving all per-layer activations).
   - continuity: the round-1 1.5B flagship at 4 pairs/step with an online
-    (in-step, adapter-off) ref forward.
+    (in-step, adapter-off) ref forward, remat 'acts'.
 
 MFU accounting (train/flops.py): LoRA-adapter training is 4N fwd+bwd (the
 frozen base has no dL/dW matmuls) + 2N per online ref forward — round 1 used
@@ -46,7 +49,8 @@ def _compile_cache():
         pass
 
 
-def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref):
+def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
+                 quantize=False):
     """Returns (pairs_per_sec, step_ms, mfu, params_b). NOTE:
     block_until_ready does not synchronize over the axon tunnel; fetching a
     value does."""
@@ -70,8 +74,18 @@ def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref):
         )
     )
     # One compiled init program: eager per-op init is pathological over the
-    # axon RPC tunnel (~15 ms/dispatch).
-    params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
+    # axon RPC tunnel (~15 ms/dispatch). QLoRA mode quantizes inside the same
+    # program so XLA never holds bf16 stack + int8 stack at once.
+    if quantize:
+        from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS, quantize_params
+
+        params = jax.jit(
+            lambda k: quantize_params(
+                init_vlm_params(cfg, k), TRAIN_QUANT_PATTERNS
+            )
+        )(jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
     lcfg = LoraConfig(
         r=64, alpha=16.0, target_patterns=(r"lm/.*attn/", r"lm/.*mlp/")
     )
@@ -132,14 +146,30 @@ def main():
         }))
         return
 
-    # HEADLINE: the 7B north star (largest fitting batch = 1 pair; 2 pairs
-    # fails at compile on 16GB v5e)
+    import dataclasses
+
+    # HEADLINE: the 7B north star, bf16 base (the reference's own recipe
+    # dtype; largest fitting batch = 1 pair, full remat — every cheaper
+    # remat policy OOMs with a 13.2 GiB bf16 base on 16 GiB)
     cfg7 = FAMILIES["llava"].make_config()
     pps7, ms7, mfu7, pb7 = _measure_dpo(
         cfg7, n_pairs=1, seq=1024, n_steps=10, n_warmup=3, precompute_ref=True
     )
-    # continuity: round-1 1.5B shape, online ref
+    # PERFORMANCE MODE: QLoRA (int8 frozen base, ops/quant.py — the
+    # reference supports q_lora too, auto_load.py:509-578). Halved param
+    # HBM affords the 'acts' remat policy (save all per-layer activations).
+    cfg7q = dataclasses.replace(
+        cfg7, lm=dataclasses.replace(cfg7.lm, remat_policy="acts")
+    )
+    pps7q, ms7q, mfu7q, _ = _measure_dpo(
+        cfg7q, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=True, quantize=True,
+    )
+    # continuity: round-1 1.5B shape, online ref ('acts' fits in bf16 here)
     cfg15 = graft._flagship_config(tiny=False)
+    cfg15 = dataclasses.replace(
+        cfg15, lm=dataclasses.replace(cfg15.lm, remat_policy="acts")
+    )
     pps15, ms15, mfu15, pb15 = _measure_dpo(
         cfg15, n_pairs=4, seq=1024, n_steps=10, n_warmup=3, precompute_ref=False
     )
@@ -159,10 +189,17 @@ def main():
         "mfu_vs_40pct_target": round(mfu7 / 0.40, 3),
         "ref_logps": "precomputed",
         "flops_accounting": "LoRA 4N fwd+bwd (frozen base: no dW matmuls)",
+        "qlora_int8_7b": {
+            # same 7B geometry, int8 frozen base + bf16 LoRA/head, remat
+            # 'acts' — the fastest supported 7B training mode on one v5e
+            "pairs_per_sec": round(pps7q, 3), "pairs_per_step": 1,
+            "step_ms": round(ms7q, 1), "mfu": round(mfu7q, 4),
+            "ref_logps": "precomputed", "remat_policy": "acts",
+        },
         "continuity_1p5b": {
             "pairs_per_sec": round(pps15, 3), "pairs_per_step": 4,
             "step_ms": round(ms15, 1), "mfu": round(mfu15, 4),
-            "ref_logps": "online",
+            "ref_logps": "online", "remat_policy": "acts",
         },
         "backend": jax.default_backend(),
     }))

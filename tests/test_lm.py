@@ -120,3 +120,32 @@ def test_lora_grads_flow_only_to_adapters():
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     b_norms = [float(jnp.linalg.norm(g)) for kp, g in flat if "b" in str(kp[-1])]
     assert any(n > 0 for n in b_norms), norms
+
+
+def test_remat_policies_match_no_remat_grads():
+    """Every remat policy is a pure memory/compute trade: loss and grads must
+    be bit-comparable to the remat-off forward."""
+    import dataclasses
+
+    params, ids = _setup()
+
+    def loss_fn(p, cfg):
+        logits, _ = lm_forward(cfg, p, input_ids=ids)
+        return jnp.mean(
+            jax.nn.log_softmax(logits.astype(jnp.float32))[..., 0]
+        )
+
+    base_loss, base_grads = jax.value_and_grad(loss_fn)(params, TINY)
+    for policy in ("full", "dots", "attn", "mlp", "mlp1", "acts"):
+        cfg = dataclasses.replace(TINY, remat=True, remat_policy=policy)
+        loss, grads = jax.value_and_grad(loss_fn)(params, cfg)
+        np.testing.assert_allclose(
+            float(loss), float(base_loss), rtol=1e-6, err_msg=policy
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+                err_msg=policy,
+            ),
+            grads, base_grads,
+        )

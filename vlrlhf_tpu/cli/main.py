@@ -58,6 +58,13 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--lora_target_modules", type=str, default="auto")
     p.add_argument("--freeze_vision_tower", type=lambda x: x.lower() == "true",
                    default=True)
+    # QLoRA (reference: lora_args.q_lora + bits assemble a GPTQ-quantized
+    # base, auto_load.py:509-578). TPU build: weights-only int8 on the frozen
+    # LM stack (ops/quant.py) — halves resident param HBM so more pairs fit.
+    p.add_argument("--q_lora", type=lambda x: x.lower() == "true",
+                   default=False)
+    p.add_argument("--bits", type=int, default=8, choices=[8],
+                   help="QLoRA weight bits (TPU build: int8)")
     p.add_argument("--bf16", type=lambda x: x.lower() == "true", default=True)
     p.add_argument("--report_to", type=str, default="jsonl")
     p.add_argument("--run_name", type=str, default=None)
@@ -70,6 +77,12 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--sequence_parallel_axis", type=str, default="",
                    help="shard the sequence over this mesh axis with ring "
                         "attention (long-context training; e.g. 'model')")
+    p.add_argument("--remat_policy", type=str, default="",
+                   choices=["", "full", "dots", "attn", "mlp", "mlp1",
+                            "acts"],
+                   help="gradient-checkpoint policy ('' keeps the model "
+                        "default; 'acts' saves all per-layer activations — "
+                        "the fastest that fits 7B QLoRA on 16 GiB)")
     # hermetic smoke mode
     p.add_argument("--synthetic", type=int, default=0,
                    help="use a tiny model + N synthetic rows (no checkpoint)")
@@ -135,13 +148,15 @@ def _load_bundle(args):
             args.model_name_or_path, dtype, args.max_length,
             args.max_prompt_length,
         )
+    lm_overrides = {}
     if getattr(args, "sequence_parallel_axis", ""):
+        lm_overrides["sequence_parallel_axis"] = args.sequence_parallel_axis
+    if getattr(args, "remat_policy", ""):
+        lm_overrides["remat_policy"] = args.remat_policy
+    if lm_overrides:
         family, cfg, params, processor = bundle
         cfg = dataclasses.replace(
-            cfg,
-            lm=dataclasses.replace(
-                cfg.lm, sequence_parallel_axis=args.sequence_parallel_axis
-            ),
+            cfg, lm=dataclasses.replace(cfg.lm, **lm_overrides)
         )
         bundle = (family, cfg, params, processor)
     return bundle
@@ -183,6 +198,15 @@ def _setup_training(args, cfg, params, family):
         MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model)
     )
     rules = default_lm_rules()
+    if getattr(args, "q_lora", False) and args.use_lora:
+        from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS, quantize_params
+
+        # Donated: XLA frees each bf16 kernel as its int8 twin lands, so a
+        # 13 GiB base quantizes in place on a 16 GiB chip.
+        params = jax.jit(
+            lambda p: quantize_params(p, TRAIN_QUANT_PATTERNS),
+            donate_argnums=0,
+        )(params)
     params = shard_pytree(rules, params, mesh)
 
     targets = (
@@ -220,6 +244,12 @@ def _finish(args, state, params, lcfg, processor, cfg=None, family=None):
         trainable = state.trainable
         if isinstance(trainable, dict) and "adapters" in trainable:
             trainable = trainable["adapters"]  # rm/ppo bundle heads separately
+        if getattr(args, "q_lora", False):
+            # Adapters merge into bf16 kernels (peft merges into the
+            # dequantized base the same way).
+            from vlrlhf_tpu.ops.quant import dequantize_params
+
+            params = jax.jit(dequantize_params, donate_argnums=0)(params)
         merged = merge_lora(params, trainable, lcfg.scale)
         save_params(os.path.join(args.output_dir, "merged"), merged)
         if cfg is not None and family is not None and not args.synthetic:
@@ -731,6 +761,12 @@ def cmd_eval(args):
     from vlrlhf_tpu.generate.engine import GenerateConfig
 
     family, cfg, params, processor = _load_bundle(args)
+    if args.quantize:
+        # Weights-only int8 serving (incl. lm_head): decode is HBM-bandwidth
+        # bound, int8 kernels measured ~1.5x decode throughput on v5e.
+        from vlrlhf_tpu.ops.quant import quantize_params
+
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
     stop_ids = tuple(
         processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
     ) if family.stop_tokens and not args.synthetic else ()
@@ -865,6 +901,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--judge_model_path", type=str, default=None,
                    help="checkpoint for the LLM choice-extraction judge "
                         "(served by our own engine)")
+    p.add_argument("--quantize", type=lambda x: x.lower() == "true",
+                   default=False,
+                   help="int8 weights-only serving (~1.5x decode on v5e)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

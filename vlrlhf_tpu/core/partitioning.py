@@ -106,13 +106,18 @@ def default_lm_rules() -> ShardingRules:
     return ShardingRules(
         [
             (r"(^|/)embed_tokens/embedding$", P("fsdp", "model")),
-            (r"(^|/)lm_head/kernel$", P("fsdp", "model")),
+            # int8-quantized kernels (ops/quant.py) shard exactly like their
+            # bf16 originals; the (1, out) scales follow the out dim.
+            (r"(^|/)lm_head/kernel(_q)?$", P("fsdp", "model")),
             # Attention projections
-            (r"attn/(wq|wk|wv)/kernel$", P("fsdp", "model")),
-            (r"attn/wo/kernel$", P("model", "fsdp")),
+            (r"attn/(wq|wk|wv)/kernel(_q)?$", P("fsdp", "model")),
+            (r"attn/wo/kernel(_q)?$", P("model", "fsdp")),
             # MLP
-            (r"mlp/(gate|up|fc1)/kernel$", P("fsdp", "model")),
-            (r"mlp/(down|fc2)/kernel$", P("model", "fsdp")),
+            (r"mlp/(gate|up|fc1)/kernel(_q)?$", P("fsdp", "model")),
+            (r"mlp/(down|fc2)/kernel(_q)?$", P("model", "fsdp")),
+            (r"(lm_head|attn/(wq|wk|wv)|mlp/(gate|up|fc1))/kernel_scale$",
+             P(None, "model")),
+            (r"(attn/wo|mlp/(down|fc2))/kernel_scale$", P(None, "fsdp")),
             # LoRA adapters: A maps in->r (shard in on fsdp), B maps r->out
             (r"lora_[^/]*/a$", P("fsdp", None)),
             (r"lora_[^/]*/b$", P(None, "model")),

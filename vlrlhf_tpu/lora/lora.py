@@ -54,7 +54,10 @@ def match_lora_targets(
     regs = [re.compile(p) for p in patterns]
     out = []
     for path, leaf in tree_paths(params):
-        if not path.endswith("/kernel"):
+        # kernel_q: int8-quantized frozen base (QLoRA mode, ops/quant.py)
+        if path.endswith("/kernel_q"):
+            path = path[: -len("_q")]
+        elif not path.endswith("/kernel"):
             continue
         if getattr(leaf, "ndim", 0) != 2 and "_scanned" not in path:
             continue
@@ -89,7 +92,7 @@ def init_lora(
     adapters: dict = {}
     keys = jax.random.split(rng, max(len(targets), 1))
     for key, path in zip(keys, sorted(targets)):
-        kernel = flat[path]
+        kernel = flat[path] if path in flat else flat[path + "_q"]
         if "_scanned" in path and kernel.ndim == 3:
             n_layers, d_in, d_out = kernel.shape
             a = jax.random.normal(key, (n_layers, d_in, config.r), dtype) / (

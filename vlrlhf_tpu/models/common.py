@@ -48,8 +48,19 @@ def linear(
     x: jax.Array,
     ctx: Optional[Ctx] = None,
 ) -> jax.Array:
-    """y = x @ kernel (+ bias) (+ LoRA delta if ctx carries an adapter here)."""
-    y = x @ p["kernel"].astype(x.dtype)
+    """y = x @ kernel (+ bias) (+ LoRA delta if ctx carries an adapter here).
+
+    Int8-quantized linears (ops/quant.py: {"kernel_q", "kernel_scale"}) take
+    the W8A16 path: per-out-channel scales commute with the matmul, so the
+    rescale applies to the small (tokens, out) result, and XLA streams the
+    int8 kernel from HBM at half the bytes (the decode-path win).
+    """
+    if "kernel_q" in p:
+        y = (x @ p["kernel_q"].astype(x.dtype)) * p["kernel_scale"].astype(
+            x.dtype
+        )
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     if ctx is not None and isinstance(ctx.adapters, dict) and "a" in ctx.adapters:

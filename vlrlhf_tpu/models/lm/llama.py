@@ -61,8 +61,10 @@ class LMConfig:
     remat: bool = True
     # 'full' recomputes everything in bwd; 'dots' saves matmul outputs
     # (heaviest HBM); 'attn' saves only each layer's attention output
-    # (B*S*H bytes/layer) so backward recomputes just norms+MLP — the best
-    # memory/compute trade at 16GB HBM.
+    # (B*S*H bytes/layer) so backward recomputes just norms+MLP; 'mlp'
+    # additionally saves the two (B*S*ff) MLP intermediates — ~45% of the
+    # per-layer recompute FLOPs for ~3 GiB at 7B/2k-token steps (the sweet
+    # spot once an int8 QLoRA base frees half the param HBM).
     remat_policy: str = "full"
 
     @property
@@ -140,9 +142,15 @@ def _attention_block(
 ):
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
-    q = linear(p["wq"], x, ctx.sub("wq")).reshape(b, s, nh, hd)
-    k = linear(p["wk"], x, ctx.sub("wk")).reshape(b, s, nkv, hd)
-    v = linear(p["wv"], x, ctx.sub("wv")).reshape(b, s, nkv, hd)
+    q = checkpoint_name(
+        linear(p["wq"], x, ctx.sub("wq")), "attn_q"
+    ).reshape(b, s, nh, hd)
+    k = checkpoint_name(
+        linear(p["wk"], x, ctx.sub("wk")), "attn_k"
+    ).reshape(b, s, nkv, hd)
+    v = checkpoint_name(
+        linear(p["wv"], x, ctx.sub("wv")), "attn_v"
+    ).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_kv is not None:
@@ -205,13 +213,13 @@ def _attention_block(
             impl=ctx.attn_impl,
         )
         new_cache = None
-    out = out.reshape(b, s, nh * hd)
+    out = checkpoint_name(out.reshape(b, s, nh * hd), "attn_pre_wo")
     return linear(p["wo"], out, ctx.sub("wo")), new_cache
 
 
 def _mlp_block(p: dict, ctx: Ctx, x: jax.Array) -> jax.Array:
-    gate = linear(p["gate"], x, ctx.sub("gate"))
-    up = linear(p["up"], x, ctx.sub("up"))
+    gate = checkpoint_name(linear(p["gate"], x, ctx.sub("gate")), "ffn_gate")
+    up = checkpoint_name(linear(p["up"], x, ctx.sub("up")), "ffn_up")
     return linear(p["down"], jax.nn.silu(gate) * up, ctx.sub("down"))
 
 
@@ -468,6 +476,25 @@ def lm_forward(
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         elif cfg.remat_policy == "attn":
             policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+        elif cfg.remat_policy == "mlp":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "ffn_gate", "ffn_up"
+            )
+        elif cfg.remat_policy == "mlp1":
+            # half of 'mlp': one (B*S*ff) intermediate per layer — fits one
+            # step up in batch when 'mlp' is a few hundred MB over HBM
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "ffn_gate"
+            )
+        elif cfg.remat_policy == "acts":
+            # save every named per-layer activation: backward recomputes only
+            # norms/rope/elementwise (flash-attn bwd re-derives scores inside
+            # its own kernel from the saved q/k/v) — ~(2B*S*ff + ~4B*S*H)
+            # bytes/layer; the fastest policy that fits 7B QLoRA on 16 GiB
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "ffn_gate", "ffn_up",
+                "attn_q", "attn_k", "attn_v", "attn_pre_wo",
+            )
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     xs = (

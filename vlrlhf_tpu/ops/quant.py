@@ -1,0 +1,147 @@
+"""Weights-only int8 quantization (serving + QLoRA-style frozen-base training).
+
+TPU-native replacement for the reference's QLoRA surface
+(/root/reference/src/vlrlhf/utils/auto_load.py:509-578: `lora_args.q_lora` +
+`bits` assemble a GPTQ-quantized base under LoRA) and the W8A16 serving mode
+of CUDA inference stacks. Two distinct wins on TPU:
+
+  - DECODE is HBM-bandwidth-bound: int8 kernels halve weight bytes/token.
+    Measured on one v5e: XLA's `x @ w_i8.astype(bf16) * scale` runs ~1.5x
+    faster than bf16 at decode shapes (a Pallas dequant-matmul kernel and a
+    W8A8 MXU kernel both measured the same ~350 GB/s int8 read ceiling, so
+    the plain-XLA path is the keeper — no custom kernel needed).
+  - TRAINING with a frozen base (LoRA/DPO): the base has no dL/dW, so int8
+    kernels halve resident param HBM (13.2 -> 6.6 GiB at 7B), letting more
+    preference pairs fit per step on a 16 GiB chip.
+
+Representation: a quantized linear replaces {"kernel": (..., in, out)} with
+  {"kernel_q":     (..., in, out) int8   — symmetric, per-out-channel
+   "kernel_scale": (..., 1, out)  bf16}  — y = (x @ q) * scale (+ bias)
+Per-out-channel scales commute with the matmul, so dequant is a cheap
+column-wise rescale of the (tokens, out) result, never of the big kernel.
+Stacked ("layers_scanned") kernels quantize per (layer, out_channel).
+
+`linear()` (models/common.py) dispatches on the "kernel_q" key, so quantized
+params flow through every existing forward (train, prefill, decode, LoRA
+delta, PLoRA) unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+# Linears worth quantizing by default: the LM decoder stack + lm_head carry
+# ~99% of 7B-class param bytes. Vision towers/projectors stay bf16 (small,
+# and some are trained even in LoRA recipes).
+DEFAULT_QUANT_PATTERNS = (
+    r"(^|/)lm/layers_scanned/(attn|mlp)/",
+    r"(^|/)lm/lm_head$",
+)
+
+# Training (QLoRA) keeps lm_head in bf16: DPO/RM logps are logit-precision
+# sensitive and the head is a single matmul — the peft/bitsandbytes
+# convention (prepare_model_for_kbit_training) for the same reason.
+TRAIN_QUANT_PATTERNS = (r"(^|/)lm/layers_scanned/(attn|mlp)/",)
+
+
+def quantize_linear(p: dict, dtype=jnp.int8) -> dict:
+    """Quantize one linear param dict {"kernel", opt "bias"} to int8.
+
+    Stacked (L, in, out) kernels quantize layer-by-layer under `lax.map` so
+    the f32 working set is one layer's kernel (~180 MB at 7B), not the whole
+    stack (~5.8 GB) — quantizing a 13 GiB model must fit beside it on a
+    16 GiB chip (jit the call with the params donated and XLA frees each
+    original as its int8 output lands).
+    """
+
+    def q1(k2d: jax.Array):
+        kf = k2d.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(kf), axis=0, keepdims=True)  # (1, out)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(kf / scale), -127, 127).astype(dtype)
+        return q, scale.astype(jnp.bfloat16)
+
+    k = p["kernel"]
+    if k.ndim == 3:
+        q, scale = jax.lax.map(q1, k)  # (L, in, out), (L, 1, out)
+    else:
+        q, scale = q1(k)
+    out = {"kernel_q": q, "kernel_scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def dequantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
+    """Inverse transform (checkpoint export / LoRA merge need bf16 kernels)."""
+    k = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"].astype(
+        jnp.float32
+    )
+    out = {"kernel": k.astype(dtype)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def _is_linear(node: Any) -> bool:
+    return isinstance(node, dict) and "kernel" in node
+
+
+def _is_qlinear(node: Any) -> bool:
+    return isinstance(node, dict) and "kernel_q" in node
+
+
+def quantize_params(
+    params: PyTree,
+    patterns: Sequence[str] = DEFAULT_QUANT_PATTERNS,
+    dtype=jnp.int8,
+) -> PyTree:
+    """Quantize every linear whose tree path matches any pattern.
+
+    Paths are '/'-joined key chains addressing the MODULE (not the kernel
+    leaf), e.g. "lm/layers_scanned/attn/wq". jit this call: eager per-op
+    dispatch over the axon tunnel is ~15 ms/op.
+    """
+    regs = [re.compile(p) for p in patterns]
+
+    def walk(node: Any, path: str) -> Any:
+        if _is_linear(node) and any(r.search(path) for r in regs):
+            return quantize_linear(node, dtype)
+        if isinstance(node, dict):
+            return {
+                k: walk(v, f"{path}/{k}" if path else k)
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params, "")
+
+
+def dequantize_params(params: PyTree, dtype=jnp.bfloat16) -> PyTree:
+    """Restore bf16 kernels wherever quantized linears appear."""
+
+    def walk(node: Any) -> Any:
+        if _is_qlinear(node):
+            return dequantize_linear(node, dtype)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def quantized_fraction(params: PyTree) -> float:
+    """Fraction of param bytes held in int8 (diagnostics / tests)."""
+    q_bytes = t_bytes = 0
+    for leaf in jax.tree.leaves(params):
+        n = getattr(leaf, "size", 0) * jnp.dtype(leaf.dtype).itemsize
+        t_bytes += n
+        if leaf.dtype == jnp.int8:
+            q_bytes += n
+    return q_bytes / max(t_bytes, 1)
