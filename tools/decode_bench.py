@@ -2,7 +2,9 @@
 
 Measures ms/token of the host-driven donated decode step and the device
 while_loop decode at B in {8, 32}, flagship shape, cache_len 1024.
-Usage: python tools/decode_bench.py
+Usage: python tools/decode_bench.py [--int8] [--7b]
+  --int8  quantize LM weights to int8 (ops/quant.py W8A16 serving mode)
+  --7b    LLaVA-1.5-7B geometry instead of the 1.5B flagship
 """
 import sys, time
 sys.path.insert(0, ".")
@@ -10,9 +12,20 @@ import jax, jax.numpy as jnp, numpy as np
 import __graft_entry__ as graft
 from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
 
-def bench(B, n_new=32, prompt=128, cache_len=1024, mode="host"):
-    cfg = graft._flagship_config(tiny=False)
-    params = jax.jit(lambda k: __import__("vlrlhf_tpu.models.vlm", fromlist=["x"]).init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
+def bench(B, n_new=32, prompt=128, mode="host", int8=False, seven_b=False):
+    if seven_b:
+        from vlrlhf_tpu.models.registry import FAMILIES
+        cfg = FAMILIES["llava"].make_config()
+    else:
+        cfg = graft._flagship_config(tiny=False)
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+    if int8:
+        from vlrlhf_tpu.ops.quant import quantize_params
+        params = jax.jit(
+            lambda k: quantize_params(init_vlm_params(cfg, k))
+        )(jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, prompt), 5, 1000)
     gen_batch = {
         "input_ids": np.asarray(ids),
@@ -30,12 +43,14 @@ def bench(B, n_new=32, prompt=128, cache_len=1024, mode="host"):
     _ = int(jnp.sum(t))
     dt = (time.perf_counter() - t0) / 3
     ms_tok = dt / n_new * 1e3
-    print(f"B={B} mode={mode}: {dt*1e3:.1f} ms total, {ms_tok:.2f} ms/token, "
-          f"{B/ms_tok*1e3:.0f} tok/s")
+    print(f"B={B} mode={mode} int8={int8}: {dt*1e3:.1f} ms total, "
+          f"{ms_tok:.2f} ms/token, {B/ms_tok*1e3:.0f} tok/s")
     return ms_tok
 
 if __name__ == "__main__":
     assert jax.default_backend() == "tpu"
+    int8 = "--int8" in sys.argv
+    seven_b = "--7b" in sys.argv
     for B in (8, 32):
         for mode in ("device", "host"):
-            bench(B, mode=mode)
+            bench(B, mode=mode, int8=int8, seven_b=seven_b)
