@@ -99,3 +99,48 @@ def test_three_turns_and_cache_full_error():
     with pytest.raises(ValueError, match="session cache full"):
         for _ in range(4):
             session.extend(chunk, np.full((b,), 3, np.int32))
+
+
+def test_two_turn_session_int8_cache_runs():
+    """Session reuse over an int8 KV cache: chunk prefill quantizes its
+    writes and dequantizes the (small) session cache for the dense read."""
+    cfg = _tiny_cfg()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    b, l1, n1 = 2, 8, 4
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (b, l1), 5, 100)
+    )
+    batch1 = {
+        "input_ids": prompt,
+        "pad_mask": np.ones((b, l1), bool),
+        "prompt_lens": np.full((b,), l1, np.int32),
+        "pixel_values": None,
+        "image_positions": None,
+    }
+    gen = Generator(
+        cfg,
+        GenerateConfig(max_new_tokens=n1, pad_token_id=0,
+                       kv_cache_dtype="int8"),
+    )
+    session = ChatSession(gen, cache_len=64)
+    out1 = np.asarray(session.start(params, batch1))
+    assert session.state["cache"]["k"].dtype == jnp.int8
+    assert "k_scale" in session.state["cache"]
+    turn2 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(2), (b, 3), 5, 100)
+    )
+    new_ids = np.concatenate([out1[:, -1:], turn2], axis=1)
+    out2 = np.asarray(
+        session.extend(new_ids, np.full((b,), new_ids.shape[1], np.int32))
+    )
+    assert out2.shape == (b, n1)
+    assert (out2 > 0).all() and (out2 < cfg.lm.vocab_size).all()
+    # bf16-cache session as a soft oracle: same first next-turn token
+    gen_bf = Generator(cfg, GenerateConfig(max_new_tokens=n1, pad_token_id=0))
+    sess_bf = ChatSession(gen_bf, cache_len=64)
+    out1_bf = np.asarray(sess_bf.start(params, batch1))
+    np.testing.assert_array_equal(out1, out1_bf)
+    out2_bf = np.asarray(
+        sess_bf.extend(new_ids, np.full((b,), new_ids.shape[1], np.int32))
+    )
+    assert (out2[:, 0] == out2_bf[:, 0]).all()

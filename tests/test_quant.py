@@ -218,3 +218,60 @@ def test_merge_after_dequant_roundtrip():
         merged_q["lm"]["layers_scanned"]["attn"]["wq"]["kernel"], np.float32
     )
     assert np.max(np.abs(wq - wq_q)) < np.max(np.abs(wq)) / 64
+
+
+def test_sharded_quantized_step_matches_unsharded():
+    """QLoRA step on a dp2 x fsdp2 x model2 mesh == single-device step (the
+    kernel_q / kernel_scale sharding rules must not change the math)."""
+    from jax.sharding import NamedSharding
+
+    from vlrlhf_tpu.core.mesh import MeshConfig, make_mesh
+    from vlrlhf_tpu.core.partitioning import (
+        batch_spec,
+        default_lm_rules,
+        make_sharding,
+        shard_pytree,
+    )
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig,
+        init_train_state,
+        make_optimizer,
+    )
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params(params, TRAIN_QUANT_PATTERNS)
+    lcfg = LoraConfig(
+        r=4, alpha=8.0, target_patterns=(r"lm/.*attn/", r"lm/.*mlp/")
+    )
+
+    def fresh_state():
+        adapters = init_lora(qparams, lcfg, jax.random.PRNGKey(1))
+        tx = make_optimizer(
+            OptimizerConfig(learning_rate=5e-3, warmup_steps=1,
+                            total_steps=50),
+            adapters,
+        )
+        return tx, init_train_state(adapters, tx)
+
+    tx, state = fresh_state()
+    step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
+    batch = tiny_batch(jax.random.PRNGKey(2), n_pairs=4)
+    _, m_unsharded = step(state, qparams, batch)  # donates state
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    rules = default_lm_rules()
+    qparams_s = shard_pytree(rules, qparams, mesh)
+    _, state = fresh_state()
+    state_s = jax.tree.map(
+        jax.device_put, state, make_sharding(rules, state, mesh)
+    )
+    batch_s = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec())), batch
+    )
+    _, m_sharded = step(state_s, qparams_s, batch_s)
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_unsharded["loss"]),
+        rtol=2e-5, atol=2e-5,
+    )

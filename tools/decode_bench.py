@@ -2,9 +2,11 @@
 
 Measures ms/token of the host-driven donated decode step and the device
 while_loop decode at B in {8, 32}, flagship shape, cache_len 1024.
-Usage: python tools/decode_bench.py [--int8] [--7b]
+Usage: python tools/decode_bench.py [--int8] [--kv8] [--7b] [--long]
   --int8  quantize LM weights to int8 (ops/quant.py W8A16 serving mode)
+  --kv8   int8 KV cache (GenerateConfig kv_cache_dtype='int8')
   --7b    LLaVA-1.5-7B geometry instead of the 1.5B flagship
+  --long  prompt 896 + 128 new (cache 1024) instead of 128 + 32
 """
 import sys, time
 sys.path.insert(0, ".")
@@ -12,7 +14,8 @@ import jax, jax.numpy as jnp, numpy as np
 import __graft_entry__ as graft
 from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
 
-def bench(B, n_new=32, prompt=128, mode="host", int8=False, seven_b=False):
+def bench(B, n_new=32, prompt=128, mode="host", int8=False, seven_b=False,
+          kv8=False):
     if seven_b:
         from vlrlhf_tpu.models.registry import FAMILIES
         cfg = FAMILIES["llava"].make_config()
@@ -33,8 +36,9 @@ def bench(B, n_new=32, prompt=128, mode="host", int8=False, seven_b=False):
         "prompt_lens": np.full((B,), prompt, np.int32),
         "pixel_values": None, "image_positions": None,
     }
-    gen = Generator(cfg, GenerateConfig(max_new_tokens=n_new, pad_token_id=0,
-                                        decode_mode=mode))
+    gen = Generator(cfg, GenerateConfig(
+        max_new_tokens=n_new, pad_token_id=0, decode_mode=mode,
+        kv_cache_dtype="int8" if kv8 else "bf16"))
     t = gen(params, gen_batch)
     _ = int(jnp.sum(t))  # compile+sync
     t0 = time.perf_counter()
@@ -43,7 +47,7 @@ def bench(B, n_new=32, prompt=128, mode="host", int8=False, seven_b=False):
     _ = int(jnp.sum(t))
     dt = (time.perf_counter() - t0) / 3
     ms_tok = dt / n_new * 1e3
-    print(f"B={B} mode={mode} int8={int8}: {dt*1e3:.1f} ms total, "
+    print(f"B={B} mode={mode} int8={int8} kv8={kv8}: {dt*1e3:.1f} ms total, "
           f"{ms_tok:.2f} ms/token, {B/ms_tok*1e3:.0f} tok/s")
     return ms_tok
 
@@ -51,6 +55,9 @@ if __name__ == "__main__":
     assert jax.default_backend() == "tpu"
     int8 = "--int8" in sys.argv
     seven_b = "--7b" in sys.argv
+    kv8 = "--kv8" in sys.argv
+    n_new, prompt = (128, 896) if "--long" in sys.argv else (32, 128)
     for B in (8, 32):
         for mode in ("device", "host"):
-            bench(B, mode=mode, int8=int8, seven_b=seven_b)
+            bench(B, n_new=n_new, prompt=prompt, mode=mode, int8=int8,
+                  seven_b=seven_b, kv8=kv8)

@@ -781,6 +781,7 @@ def cmd_eval(args):
             max_new_tokens=args.max_new_tokens,
             eos_token_ids=stop_ids,
             pad_token_id=processor.tokenizer.pad_token_id or 0,
+            kv_cache_dtype=args.kv_cache_dtype,
         ),
         collator_cfg=CollatorConfig(
             pad_token_id=processor.tokenizer.pad_token_id or 0,
@@ -904,6 +905,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", type=lambda x: x.lower() == "true",
                    default=False,
                    help="int8 weights-only serving (~1.5x decode on v5e)")
+    p.add_argument("--kv_cache_dtype", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="int8 halves KV-cache HBM: bigger batches / longer "
+                        "contexts fit (7B long-context needs it on 16 GiB)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

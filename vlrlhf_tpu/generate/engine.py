@@ -48,6 +48,11 @@ class GenerateConfig:
     # donated step (in-place buffers + early exit; best on local TPU-VMs
     # where dispatch is ~1ms and can pipeline).
     decode_mode: str = "device"
+    # 'bf16' | 'int8': int8 halves KV-cache HBM (capacity AND decode DMA
+    # bytes) with per-vector scales folded into the decode-attention kernel
+    # (ops/quant.py:quantize_kv, ops/decode_attention.py). The current
+    # token's self term stays bf16-exact.
+    kv_cache_dtype: str = "bf16"
 
 
 def _generate_impl(
@@ -71,10 +76,21 @@ def _generate_impl(
     ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
     lm = model_cfg.lm
     nkv, hd = lm.num_kv_heads, lm.head_dim_
+    int8_cache = gen_cfg.kv_cache_dtype == "int8"
+    kv_dt = jnp.int8 if int8_cache else lm.dtype
     cache = {
-        "k": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), lm.dtype),
-        "v": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), lm.dtype),
+        "k": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), kv_dt),
+        "v": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), kv_dt),
     }
+    if int8_cache:
+        # per-vector scales; prefill quantizes at WRITE time so the bf16
+        # cache never materializes (models/lm/llama.py:_attention_block)
+        cache["k_scale"] = jnp.zeros(
+            (lm.num_layers, b, cache_len, nkv), jnp.bfloat16
+        )
+        cache["v_scale"] = jnp.zeros(
+            (lm.num_layers, b, cache_len, nkv), jnp.bfloat16
+        )
     positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
     kv_mask = jnp.arange(cache_len)[None, :] < prompt_lens[:, None]
 
@@ -113,11 +129,14 @@ def _generate_impl(
     # Transpose the prefill cache (L, B, Sc, nkv, hd) to the head-major
     # DECODE layout (L, B, nkv, Sc, hd) — once per generation call; the
     # decode-attention kernel then reads contiguous (Sc, hd) stripes.
-    cache = {
+    new_cache = {
         "k": jnp.transpose(cache["k"], (0, 1, 3, 2, 4)),
         "v": jnp.transpose(cache["v"], (0, 1, 3, 2, 4)),
     }
-    return cache, prompt_lens, first_token, done0, out0
+    if int8_cache:
+        new_cache["k_scale"] = jnp.transpose(cache["k_scale"], (0, 1, 3, 2))
+        new_cache["v_scale"] = jnp.transpose(cache["v_scale"], (0, 1, 3, 2))
+    return new_cache, prompt_lens, first_token, done0, out0
 
 
 def _empty_pending(lm, b: int, cache_len: int) -> dict:

@@ -137,7 +137,7 @@ def _attention_block(
     pad_mask: Optional[jax.Array],
     segment_ids: Optional[jax.Array],
     positions: jax.Array,
-    cache_kv: Optional[tuple[jax.Array, jax.Array]],
+    cache_kv: Optional[tuple],  # (ck, cv[, k_scale, v_scale])
     kv_mask: Optional[jax.Array],
 ):
     b, s, _ = x.shape
@@ -154,11 +154,26 @@ def _attention_block(
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_kv is not None:
-        # Write current k/v at `positions` slots.
-        ck, cv = cache_kv  # (B, Sc, nkv, hd)
+        # Write current k/v at `positions` slots (quantizing per vector when
+        # the cache is int8 — the bf16 cache never materializes, which is
+        # what lets a 7B long-context prefill fit on a 16 GiB chip).
+        ck, cv = cache_kv[0], cache_kv[1]
+        ks = vs = None
+        if len(cache_kv) == 4 and cache_kv[2] is not None:
+            from vlrlhf_tpu.ops.quant import quantize_kv
+
+            ks, vs = cache_kv[2], cache_kv[3]  # (B, Sc, nkv)
         batch_idx = jnp.arange(b)[:, None]
-        ck = ck.at[batch_idx, positions].set(k.astype(ck.dtype))
-        cv = cv.at[batch_idx, positions].set(v.astype(cv.dtype))
+        if ks is not None:
+            kq, ksc = quantize_kv(k)  # (B, S, nkv, hd) int8, (B, S, nkv)
+            vq, vsc = quantize_kv(v)
+            ck = ck.at[batch_idx, positions].set(kq)
+            cv = cv.at[batch_idx, positions].set(vq)
+            ks = ks.at[batch_idx, positions].set(ksc)
+            vs = vs.at[batch_idx, positions].set(vsc)
+        else:
+            ck = ck.at[batch_idx, positions].set(k.astype(ck.dtype))
+            cv = cv.at[batch_idx, positions].set(v.astype(cv.dtype))
         if s > 1:
             # PREFILL: the cache holds nothing before this chunk, so chunk-
             # local causal attention == attention over the cache — use the
@@ -170,6 +185,15 @@ def _attention_block(
             )
         else:
             # DECODE: one query against the whole cache, slot-index causality.
+            # (legacy scan decode path; the engine uses lm_decode instead)
+            ckf, cvf = ck, cv
+            if ks is not None:
+                ckf = (
+                    ck.astype(jnp.float32) * ks[..., None].astype(jnp.float32)
+                ).astype(x.dtype)
+                cvf = (
+                    cv.astype(jnp.float32) * vs[..., None].astype(jnp.float32)
+                ).astype(x.dtype)
             sc = ck.shape[1]
             slots = jnp.arange(sc)[None, None, :]  # (1, 1, Sc)
             attend = slots <= positions[:, :, None]
@@ -177,8 +201,8 @@ def _attention_block(
                 attend = attend & kv_mask[:, None, :].astype(bool)
             if pad_mask is not None:
                 attend = attend & pad_mask[:, :, None].astype(bool)
-            out = reference_attention(q, ck, cv, mask=attend[:, None])
-        new_cache = (ck, cv)
+            out = reference_attention(q, ckf, cvf, mask=attend[:, None])
+        new_cache = (ck, cv, ks, vs)
     elif cfg.sequence_parallel_axis:
         # Ring attention: sequence sharded over the named mesh axis, K/V
         # blocks rotate via ppermute (ops/ring_attention.py).
@@ -266,6 +290,8 @@ def lm_decode(
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
     layer_ctx = ctx.sub("layers_scanned")
     ck_all, cv_all = cache["k"], cache["v"]
+    ks_all, vs_all = cache.get("k_scale"), cache.get("v_scale")
+    quantized_cache = ks_all is not None
 
     if pending is not None:
         # write_pos == cache_len means "nothing pending" (OOB scatter drops)
@@ -273,8 +299,20 @@ def lm_decode(
         bi2 = jnp.arange(b)[None, :, None]
         hi2 = jnp.arange(nkv)[None, None, :]
         pos3 = pending["pos"][None, :, None]
-        ck_all = ck_all.at[li, bi2, hi2, pos3].set(pending["k"], mode="drop")
-        cv_all = cv_all.at[li, bi2, hi2, pos3].set(pending["v"], mode="drop")
+        if quantized_cache:
+            # pending k/v arrive bf16 (the self term used them exactly);
+            # quantize per vector at write time (ops/quant.py)
+            from vlrlhf_tpu.ops.quant import quantize_kv
+
+            pk, pks = quantize_kv(pending["k"])
+            pv_, pvs = quantize_kv(pending["v"])
+            ck_all = ck_all.at[li, bi2, hi2, pos3].set(pk, mode="drop")
+            cv_all = cv_all.at[li, bi2, hi2, pos3].set(pv_, mode="drop")
+            ks_all = ks_all.at[li, bi2, hi2, pos3].set(pks, mode="drop")
+            vs_all = vs_all.at[li, bi2, hi2, pos3].set(pvs, mode="drop")
+        else:
+            ck_all = ck_all.at[li, bi2, hi2, pos3].set(pending["k"], mode="drop")
+            cv_all = cv_all.at[li, bi2, hi2, pos3].set(pending["v"], mode="drop")
 
     from vlrlhf_tpu.ops.decode_attention import decode_attention
 
@@ -291,15 +329,18 @@ def lm_decode(
         k = linear(lp["attn"]["wk"], h, actx.sub("wk")).reshape(b, 1, nkv, hd)
         v = linear(lp["attn"]["wv"], h, actx.sub("wv")).reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        new_ks.append(k[:, 0].astype(ck_all.dtype))
-        new_vs.append(v[:, 0].astype(cv_all.dtype))
+        # pending stays in COMPUTE dtype — the next step's self term uses it
+        # exactly, and (for int8 caches) quantization happens at write time
+        new_ks.append(k[:, 0].astype(cfg.dtype))
+        new_vs.append(v[:, 0].astype(cfg.dtype))
         # The STACKED caches go in with a static layer index (slicing before
         # a pallas_call materializes a per-layer copy); the current token's
         # k/v ride as an explicit self-term so the cache write can be
         # DEFERRED — 2L per-layer scatters into the multi-GB cache measured
         # ~4 ms/token at B=32 on v5e; one batched scatter below replaces them.
         out = decode_attention(
-            q[:, 0], ck_all, cv_all, k[:, 0], v[:, 0], lengths, layer=i
+            q[:, 0], ck_all, cv_all, k[:, 0], v[:, 0], lengths, layer=i,
+            k_scale=ks_all, v_scale=vs_all,
         )
         out = linear(lp["attn"]["wo"], out.reshape(b, 1, nh * hd), actx.sub("wo"))
         x = x + out
@@ -319,7 +360,10 @@ def lm_decode(
         ).T
     else:
         logits = linear(params["lm_head"], hidden, ctx.sub("lm_head"))
-    return logits, {"k": ck_all, "v": cv_all}, new_pending
+    new_cache = {"k": ck_all, "v": cv_all}
+    if quantized_cache:
+        new_cache["k_scale"], new_cache["v_scale"] = ks_all, vs_all
+    return logits, new_cache, new_pending
 
 
 def lm_prefill_chunk(
@@ -350,14 +394,24 @@ def lm_prefill_chunk(
     cos, sin = rope_frequencies(cfg.rope, positions, seq_len=sc)
     layer_ctx = ctx.sub("layers_scanned")
     ck_all, cv_all = cache["k"], cache["v"]
+    ks_all, vs_all = cache.get("k_scale"), cache.get("v_scale")
+    quantized_cache = ks_all is not None
+    if quantized_cache:
+        from vlrlhf_tpu.ops.quant import quantize_kv
 
     if pending is not None:
         li = jnp.arange(cfg.num_layers)[:, None, None]
         pbi = jnp.arange(b)[None, :, None]
         phi = jnp.arange(nkv)[None, None, :]
         ppos = pending["pos"][None, :, None]
-        ck_all = ck_all.at[li, pbi, phi, ppos].set(pending["k"], mode="drop")
-        cv_all = cv_all.at[li, pbi, phi, ppos].set(pending["v"], mode="drop")
+        pk, pv_ = pending["k"], pending["v"]
+        if quantized_cache:
+            pk, pks = quantize_kv(pk)
+            pv_, pvs = quantize_kv(pv_)
+            ks_all = ks_all.at[li, pbi, phi, ppos].set(pks, mode="drop")
+            vs_all = vs_all.at[li, pbi, phi, ppos].set(pvs, mode="drop")
+        ck_all = ck_all.at[li, pbi, phi, ppos].set(pk, mode="drop")
+        cv_all = cv_all.at[li, pbi, phi, ppos].set(pv_, mode="drop")
 
     from vlrlhf_tpu.ops.attention import _repeat_kv, reference_attention
 
@@ -384,16 +438,45 @@ def lm_prefill_chunk(
         v = linear(lp["attn"]["wv"], h, actx.sub("wv")).reshape(b, c, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         # write chunk kv: (B, nkv, C) slots
-        ck_all = ck_all.at[
-            i, bi, hi, write_pos[:, None, :]
-        ].set(jnp.transpose(k, (0, 2, 1, 3)).astype(ck_all.dtype), mode="drop")
-        cv_all = cv_all.at[
-            i, bi, hi, write_pos[:, None, :]
-        ].set(jnp.transpose(v, (0, 2, 1, 3)).astype(cv_all.dtype), mode="drop")
+        kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, nkv, C, hd)
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        if quantized_cache:
+            kq, ks = quantize_kv(kt)
+            vq, vs = quantize_kv(vt)
+            ck_all = ck_all.at[i, bi, hi, write_pos[:, None, :]].set(
+                kq, mode="drop"
+            )
+            cv_all = cv_all.at[i, bi, hi, write_pos[:, None, :]].set(
+                vq, mode="drop"
+            )
+            ks_all = ks_all.at[i, bi, hi, write_pos[:, None, :]].set(
+                ks, mode="drop"
+            )
+            vs_all = vs_all.at[i, bi, hi, write_pos[:, None, :]].set(
+                vs, mode="drop"
+            )
+            # dense chunk attention reads the whole (small) session cache —
+            # dequantize per layer (this is the per-turn path, not per-token)
+            ck_f = (
+                ck_all[i].astype(jnp.float32)
+                * ks_all[i][..., None].astype(jnp.float32)
+            ).astype(cfg.dtype)
+            cv_f = (
+                cv_all[i].astype(jnp.float32)
+                * vs_all[i][..., None].astype(jnp.float32)
+            ).astype(cfg.dtype)
+        else:
+            ck_all = ck_all.at[i, bi, hi, write_pos[:, None, :]].set(
+                kt.astype(ck_all.dtype), mode="drop"
+            )
+            cv_all = cv_all.at[i, bi, hi, write_pos[:, None, :]].set(
+                vt.astype(cv_all.dtype), mode="drop"
+            )
+            ck_f, cv_f = ck_all[i], cv_all[i]
         out = reference_attention(
             q,
-            _repeat_kv(jnp.transpose(ck_all[i], (0, 2, 1, 3)), nh // nkv),
-            _repeat_kv(jnp.transpose(cv_all[i], (0, 2, 1, 3)), nh // nkv),
+            _repeat_kv(jnp.transpose(ck_f, (0, 2, 1, 3)), nh // nkv),
+            _repeat_kv(jnp.transpose(cv_f, (0, 2, 1, 3)), nh // nkv),
             mask=attend,
         )
         out = linear(lp["attn"]["wo"], out.reshape(b, c, nh * hd), actx.sub("wo"))
@@ -408,7 +491,10 @@ def lm_prefill_chunk(
         ).T
     else:
         logits = linear(params["lm_head"], hidden, ctx.sub("lm_head"))
-    return logits, {"k": ck_all, "v": cv_all}, lengths + chunk_lens
+    new_cache = {"k": ck_all, "v": cv_all}
+    if quantized_cache:
+        new_cache["k_scale"], new_cache["v_scale"] = ks_all, vs_all
+    return logits, new_cache, lengths + chunk_lens
 
 
 def lm_forward(
@@ -440,7 +526,7 @@ def lm_forward(
 
     def body(carry, xs):
         x = carry
-        lp, la, li, ck, cv = xs
+        lp, la, li, ck, cv, cks, cvs = xs
         rng = layer_ctx.dropout_rng
         if rng is not None:
             # Distinct dropout stream per layer: the scanned body sees one Ctx,
@@ -459,7 +545,7 @@ def lm_forward(
             pad_mask,
             segment_ids,
             positions,
-            (ck, cv) if ck is not None else None,
+            (ck, cv, cks, cvs) if ck is not None else None,
             kv_mask,
         )
         attn_out = checkpoint_name(attn_out, "attn_out")
@@ -467,7 +553,7 @@ def lm_forward(
         h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_eps)
         x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
         if new_kv is None:
-            return x, (None, None)
+            return x, (None, None, None, None)
         return x, new_kv
 
     if cfg.remat and cache is None:
@@ -503,13 +589,19 @@ def lm_forward(
         jnp.arange(cfg.num_layers),
         cache["k"] if cache is not None else None,
         cache["v"] if cache is not None else None,
+        cache.get("k_scale") if cache is not None else None,
+        cache.get("v_scale") if cache is not None else None,
     )
-    hidden, (new_k, new_v) = jax.lax.scan(body, inputs_embeds, xs)
+    hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        body, inputs_embeds, xs
+    )
     hidden = rms_norm(hidden, params["norm"]["weight"], cfg.rms_eps)
 
     new_cache = None
     if cache is not None:
         new_cache = {"k": new_k, "v": new_v}
+        if new_ks is not None:
+            new_cache["k_scale"], new_cache["v_scale"] = new_ks, new_vs
 
     if not return_logits:
         return hidden, new_cache

@@ -54,15 +54,17 @@ def _decode_kernel(
     vc_ref,  # (1, nkv, hd)
     k_ref,  # (1, [1,] nkv, block_s, hd) cache block
     v_ref,
-    o_ref,  # (1, nkv, g, hd)
-    m_scr,  # (nh, LANES) f32
-    l_scr,  # (nh, LANES) f32
-    acc_scr,  # (nh, hd) f32
-    *,
+    *rest,  # [ks_ref, vs_ref] when the cache is int8-quantized, then o_ref
+    # scratch: m_scr (nh, LANES) f32, l_scr (nh, LANES) f32, acc (nh, hd) f32
     scale: float,
     block_s: int,
     num_s_blocks: int,
+    quantized: bool,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     ki = pl.program_id(1)
 
     @pl.when(ki == 0)
@@ -85,7 +87,16 @@ def _decode_kernel(
             q, k.astype(jnp.float32),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(nh, block_s)
+        ).reshape(nkv, g, block_s)
+        if quantized:
+            # int8 cache: per-(head, slot) k scales fold into the scores.
+            # Two steps: drop leading unit dims (trailing-preserving reshape,
+            # Mosaic-supported), then broadcast over the group dim — the
+            # single fused reshape (1,1,nkv,bs)->(nkv,1,bs) fails vector
+            # layout inference on non-128 block_s.
+            ks2 = ks_ref[...].reshape(nkv, block_s).astype(jnp.float32)
+            s = s * ks2[:, None, :]
+        s = s.reshape(nh, block_s)
         slot = start + jax.lax.broadcasted_iota(jnp.int32, (nh, block_s), 1)
         # STRICT <: the current token's k/v are not in the cache yet
         s = s + jnp.where(slot < length, 0.0, MASK_VALUE)
@@ -98,13 +109,26 @@ def _decode_kernel(
         p = jnp.exp(s - m_next[:, :1])  # (nh, block_s)
         m_scr[...] = m_next
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        # head-batched p @ v: (nkv, g, block_s) x (nkv, block_s, hd)
-        pv = jax.lax.dot_general(
-            p.reshape(nkv, g, block_s).astype(v_ref.dtype),
-            v_ref[...].reshape(nkv, block_s, hd),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(nh, hd)
+        p3 = p.reshape(nkv, g, block_s)
+        if quantized:
+            # fold v scales into p: sum_s p_s * (v_q_s * vs_s)
+            #                     = (p * vs) @ v_q  (per head, per slot)
+            vs2 = vs_ref[...].reshape(nkv, block_s).astype(jnp.float32)
+            p3 = p3 * vs2[:, None, :]
+            pv_rhs = v_ref[...].reshape(nkv, block_s, hd).astype(jnp.float32)
+            pv = jax.lax.dot_general(
+                p3, pv_rhs,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(nh, hd)
+        else:
+            # head-batched p @ v: (nkv, g, block_s) x (nkv, block_s, hd)
+            pv = jax.lax.dot_general(
+                p3.astype(v_ref.dtype),
+                v_ref[...].reshape(nkv, block_s, hd),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(nh, hd)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(ki == num_s_blocks - 1)
@@ -129,10 +153,19 @@ def _decode_kernel(
         o_ref[0] = out.reshape(nkv, g, hd).astype(o_ref.dtype)
 
 
-def _decode_attention_xla(q, k_cache, v_cache, k_cur, v_cur, lengths, scale):
-    """Dense fallback (and the oracle in tests). Cache (B, nkv, S, hd)."""
+def _decode_attention_xla(q, k_cache, v_cache, k_cur, v_cur, lengths, scale,
+                          k_scale=None, v_scale=None):
+    """Dense fallback (and the oracle in tests). Cache (B, nkv, S, hd);
+    optional int8 cache with per-(B, nkv, S) scales is dequantized up front."""
     from vlrlhf_tpu.ops.attention import reference_attention
 
+    if k_scale is not None:
+        k_cache = (
+            k_cache.astype(jnp.float32) * k_scale[..., None].astype(jnp.float32)
+        ).astype(q.dtype)
+        v_cache = (
+            v_cache.astype(jnp.float32) * v_scale[..., None].astype(jnp.float32)
+        ).astype(q.dtype)
     b = q.shape[0]
     s = k_cache.shape[2]
     # splice the current token in (functional; CPU path so the copy is fine)
@@ -166,26 +199,45 @@ def decode_attention(
     block_s: int = 512,
     layer: int | None = None,
     force_xla: bool = False,
+    k_scale: jax.Array | None = None,  # (B, nkv, S) or (L, B, nkv, S):
+    v_scale: jax.Array | None = None,  # int8 cache per-vector scales
 ) -> jax.Array:
     """When `layer` is given the caches are the FULL stacked (L, B, nkv, S,
     hd) buffers and the kernel block-indexes into layer `layer` directly —
     slicing the stacked cache in XLA before a pallas_call materializes a
     per-layer copy (measured ~0.75 ms/layer at B=32 S=1024 on v5e), whereas
-    block-indexing is zero-copy."""
+    block-indexing is zero-copy.
+
+    An int8 cache (k_scale/v_scale given) halves cache DMA bytes: the kernel
+    folds k scales into the scores and v scales into the softmax weights, so
+    dequantization never materializes (B, nkv, S, hd) floats. The CURRENT
+    token's k/v stay bf16 (the self term is exact)."""
     b, nh, hd = q.shape
     if layer is None:
         nkv, s_len = k_cache.shape[1], k_cache.shape[2]
     else:
         nkv, s_len = k_cache.shape[2], k_cache.shape[3]
     scale = hd**-0.5 if scale is None else scale
-    if force_xla:
+    quantized = k_scale is not None
+
+    def _xla():
         kc = k_cache if layer is None else k_cache[layer]
         vc = v_cache if layer is None else v_cache[layer]
-        return _decode_attention_xla(q, kc, vc, k_cur, v_cur, lengths, scale)
+        ks = k_scale if layer is None or k_scale is None else k_scale[layer]
+        vs = v_scale if layer is None or v_scale is None else v_scale[layer]
+        return _decode_attention_xla(
+            q, kc, vc, k_cur, v_cur, lengths, scale, ks, vs
+        )
+
+    if force_xla:
+        return _xla()
 
     g = nh // nkv
-    # VMEM budget: k+v blocks at bf16 should stay well under ~8MB.
-    while block_s > 128 and 2 * block_s * nkv * hd * 2 > 8 * 2**20:
+    # VMEM budget: k+v blocks at <=6MB so the double-buffered pair stays
+    # under the 16MB scoped-vmem limit (8MB measured 16.05M with 32 heads
+    # x hd 128 — a 48K bust).
+    itemsize = 1 if quantized else 2
+    while block_s > 128 and 2 * block_s * nkv * hd * itemsize > 6 * 2**20:
         block_s //= 2
     block_s = min(block_s, s_len)
     if s_len % block_s:
@@ -196,11 +248,7 @@ def decode_attention(
             0,
         )
         if not block_s:
-            kc = k_cache if layer is None else k_cache[layer]
-            vc = v_cache if layer is None else v_cache[layer]
-            return _decode_attention_xla(
-                q, kc, vc, k_cur, v_cur, lengths, scale
-            )
+            return _xla()
     num_s_blocks = s_len // block_s
 
     q4 = q.reshape(b, nkv, g, hd)
@@ -211,28 +259,39 @@ def decode_attention(
         scale=scale,
         block_s=block_s,
         num_s_blocks=num_s_blocks,
+        quantized=quantized,
     )
     if layer is None:
         kv_spec = pl.BlockSpec(
             (1, nkv, block_s, hd), lambda bi, ki: (bi, 0, ki, 0)
         )
+        sc_spec = pl.BlockSpec((1, nkv, block_s), lambda bi, ki: (bi, 0, ki))
     else:
         kv_spec = pl.BlockSpec(
             (1, 1, nkv, block_s, hd),
             lambda bi, ki, _l=layer: (_l, bi, 0, ki, 0),
         )
+        sc_spec = pl.BlockSpec(
+            (1, 1, nkv, block_s),
+            lambda bi, ki, _l=layer: (_l, bi, 0, ki),
+        )
     cur_spec = pl.BlockSpec((1, nkv, hd), lambda bi, ki: (bi, 0, 0))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths, whole array
+        pl.BlockSpec((1, nkv, g, hd), lambda bi, ki: (bi, 0, 0, 0)),
+        cur_spec,
+        cur_spec,
+        kv_spec,
+        kv_spec,
+    ]
+    operands = [lengths2, q4, k_cur, v_cur, k_cache, v_cache]
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale, v_scale]
     out = pl.pallas_call(
         kernel,
         grid=(b, num_s_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths, whole array
-            pl.BlockSpec((1, nkv, g, hd), lambda bi, ki: (bi, 0, 0, 0)),
-            cur_spec,
-            cur_spec,
-            kv_spec,
-            kv_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nkv, g, hd), lambda bi, ki: (bi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nkv, g, hd), q.dtype),
         scratch_shapes=[
@@ -244,5 +303,5 @@ def decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(lengths2, q4, k_cur, v_cur, k_cache, v_cache)
+    )(*operands)
     return out.reshape(b, nh, hd)

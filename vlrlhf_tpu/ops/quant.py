@@ -136,6 +136,22 @@ def dequantize_params(params: PyTree, dtype=jnp.bfloat16) -> PyTree:
     return walk(params)
 
 
+def quantize_kv(x: jax.Array):
+    """Per-vector int8 KV-cache quantization: symmetric over the trailing
+    head_dim. x (..., hd) -> (q int8 (..., hd), scale bf16 (...,)).
+
+    Used by the generation engine's int8 cache mode (GenerateConfig
+    kv_cache_dtype='int8'): halves cache DMA bytes per decode step; the
+    decode-attention kernel folds the scales into scores/weights
+    (ops/decode_attention.py)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale[..., 0].astype(jnp.bfloat16)
+
+
 def quantized_fraction(params: PyTree) -> float:
     """Fraction of param bytes held in int8 (diagnostics / tests)."""
     q_bytes = t_bytes = 0
