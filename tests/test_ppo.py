@@ -220,3 +220,50 @@ def test_skip_consensus_single_process():
 
     assert any_process_failed(True) is True
     assert any_process_failed(False) is False
+
+
+def test_running_moments_match_global_moments():
+    """After any sequence of update() calls, RunningMoments.mean/std equal
+    the moments of everything seen (TRL core.py RunningMoments semantics:
+    parallel-variance batch merge, Bessel-corrected std)."""
+    from vlrlhf_tpu.train.ppo import RunningMoments
+
+    rng = np.random.default_rng(0)
+    rm = RunningMoments()
+    seen = []
+    for n in (3, 8, 1, 16):
+        xs = rng.normal(2.0, 3.0, size=n)
+        rm.update(xs)
+        seen.append(xs)
+    allx = np.concatenate(seen)
+    assert abs(rm.mean - allx.mean()) < 1e-9
+    assert abs(rm.std - allx.std(ddof=1)) < 1e-9
+
+
+def test_score_scaling_and_norm_pipeline():
+    """TRL order: scale by running std (optionally shift by running mean),
+    THEN clip. First batch with use_score_norm=True whitens to ~unit scale."""
+    from vlrlhf_tpu.train.ppo import (PPOConfig, RunningMoments,
+                                      preprocess_scores)
+
+    scores = np.array([1.0, 3.0, 5.0, 7.0], np.float32)
+    # scaling only: divide by running std of the batch
+    cfg = PPOConfig(use_score_scaling=True)
+    out = preprocess_scores(scores, cfg, RunningMoments())
+    np.testing.assert_allclose(out, scores / scores.std(ddof=1), rtol=1e-5)
+    # scaling + norm: whiten by running moments
+    cfg = PPOConfig(use_score_scaling=True, use_score_norm=True)
+    out = preprocess_scores(scores, cfg, RunningMoments())
+    np.testing.assert_allclose(
+        out, (scores - scores.mean()) / scores.std(ddof=1), rtol=1e-5
+    )
+    # clip applies after scaling
+    cfg = PPOConfig(use_score_scaling=True, use_score_norm=True,
+                    score_clip=0.5)
+    out = preprocess_scores(scores, cfg, RunningMoments())
+    assert np.abs(out).max() <= 0.5 + 1e-6
+    # no flags: passthrough
+    cfg = PPOConfig()
+    np.testing.assert_allclose(
+        preprocess_scores(scores, cfg, RunningMoments()), scores
+    )

@@ -619,9 +619,14 @@ def cmd_ppo(args):
     ppo_cfg = PPOConfig(
         lora_scale=lcfg.scale, init_kl_coef=args.init_kl_coef,
         ppo_epochs=args.ppo_epochs, minibatch_size=args.minibatch_size,
+        use_score_scaling=args.use_score_scaling,
+        use_score_norm=args.use_score_norm, score_clip=args.score_clip,
     )
     stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
     kl_ctl = AdaptiveKLController(ppo_cfg)
+    from vlrlhf_tpu.train.ppo import RunningMoments, preprocess_scores
+
+    score_moments = RunningMoments()
 
     # Reward model: trained RM adapters+head from --reward_model_path, or a
     # synthetic length-penalty reward in smoke mode.
@@ -713,7 +718,7 @@ def cmd_ppo(args):
                 parts.append(np.asarray(gen(params, sub, rng=krng)))
             tokens = np.concatenate(parts, axis=0)
             batch = rollout_to_batch(pb, tokens, pad_id)
-            scores = reward_fn(batch)
+            scores = preprocess_scores(reward_fn(batch), ppo_cfg, score_moments)
             stats = stats_fn(params, state.trainable, batch, scores,
                              jnp.asarray(kl_ctl.value))
             float(stats.kl)  # force rollout errors to surface here
@@ -891,6 +896,14 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--use_value_adapter",
                            type=lambda x: x.lower() == "true", default=False,
                            help="separate LoRA set for the value function")
+            p.add_argument("--use_score_scaling",
+                           type=lambda x: x.lower() == "true", default=False,
+                           help="divide RM scores by their running std (TRL)")
+            p.add_argument("--use_score_norm",
+                           type=lambda x: x.lower() == "true", default=False,
+                           help="also subtract the running mean (needs "
+                                "--use_score_scaling True)")
+            p.add_argument("--score_clip", type=float, default=None)
 
     p = sub.add_parser("eval")
     _common_args(p)

@@ -51,6 +51,8 @@ class PPOConfig:
     minibatch_size: int = 0  # 0 = full batch
     whiten_advantages: bool = True
     score_clip: Optional[float] = None
+    use_score_scaling: bool = False
+    use_score_norm: bool = False
 
 
 def masked_mean(x, mask, axis=None):
@@ -341,6 +343,60 @@ def ppo_update_epochs(
             )
             state, metrics = update_fn(state, base_params, mb_batch, mb_stats)
     return state, metrics
+
+
+class RunningMoments:
+    """TRL's RunningMoments (trl 0.8.1 core.py): parallel-variance merge of
+    per-batch moments, so after any number of update() calls mean/var equal
+    the mean/var of everything seen. Drives use_score_scaling/use_score_norm
+    (TRL PPOTrainer.step score preprocessing; the reference exposes these via
+    trl.PPOConfig, /root/reference/src/vlrlhf/ppo.py:72-119)."""
+
+    def __init__(self):
+        self.mean = 0.0
+        self.var = 1.0
+        self.std = 1.0
+        self.count = 1e-24
+
+    def update(self, xs) -> tuple[float, float]:
+        import numpy as np
+
+        xs = np.asarray(xs, np.float64)
+        xs_count = xs.size
+        xs_mean = float(xs.mean())
+        xs_var = float(xs.var())  # biased, as in TRL
+        delta = xs_mean - self.mean
+        tot_count = self.count + xs_count
+        new_sum = xs_var * xs_count
+        old_sum = self.var * self.count + delta**2 * self.count * xs_count / tot_count
+        self.mean += delta * xs_count / tot_count
+        self.var = (old_sum + new_sum) / tot_count
+        self.std = float((self.var * tot_count / max(tot_count - 1, 1e-24)) ** 0.5)
+        self.count = tot_count
+        return xs_mean, float(
+            (xs_var * xs_count / max(xs_count - 1, 1e-24)) ** 0.5
+        )
+
+
+def preprocess_scores(scores, ppo_cfg: PPOConfig, moments: RunningMoments):
+    """TRL's score pipeline, in TRL's order: running scale/norm, then clip.
+
+    Host-side (numpy), exactly like TRL applies it before compute_rewards.
+    compute_rollout_stats clips again in-jit with the same bounds, which is
+    idempotent, so callers may use either or both."""
+    import numpy as np
+
+    scores = np.asarray(scores, np.float32)
+    if ppo_cfg.use_score_scaling:
+        moments.update(scores)
+        factor = moments.std + np.finfo(np.float32).eps
+        if ppo_cfg.use_score_norm:
+            scores = (scores - moments.mean) / factor
+        else:
+            scores = scores / factor
+    if ppo_cfg.score_clip is not None:
+        scores = np.clip(scores, -ppo_cfg.score_clip, ppo_cfg.score_clip)
+    return scores
 
 
 class AdaptiveKLController:
