@@ -50,7 +50,7 @@ def _compile_cache():
 
 
 def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
-                 quantize=False):
+                 quantize=False, dpo_kwargs=None):
     """Returns (pairs_per_sec, step_ms, mfu, params_b). NOTE:
     block_until_ready does not synchronize over the axon tunnel; fetching a
     value does."""
@@ -97,7 +97,9 @@ def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
         adapters,
     )
     state = init_train_state(adapters, tx)
-    step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
+    step = make_dpo_step(
+        cfg, DPOConfig(lora_scale=lcfg.scale, **(dpo_kwargs or {})), tx
+    )
     batch = graft._example_batch(cfg, n_pairs=n_pairs, seq=seq)
     if precompute_ref:
         batch["ref_chosen_logps"] = jnp.zeros((n_pairs,), jnp.float32)

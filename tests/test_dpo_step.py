@@ -158,3 +158,73 @@ def test_precomputed_ref_logps_match_online():
         float(m_cached["rewards/margins"]), float(m_online["rewards/margins"]),
         atol=1e-5,
     )
+
+
+def test_chunked_logits_matches_dense_path():
+    """logits_chunk path == dense path: same loss/metrics and same updated
+    adapters (the scan + per-chunk checkpoint changes memory, not math).
+    Chunk 16 with seq 48 exercises multi-chunk + the seq%chunk==0 case;
+    chunk 20 exercises padding (48 = 2*20 + 8)."""
+    cfg, params, state0, _, batch = _setup()
+    lcfg = LoraConfig(r=4, alpha=8.0,
+                      target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"))
+    ocfg = OptimizerConfig(learning_rate=5e-3, warmup_steps=1, total_steps=50)
+
+    def run(logits_chunk):
+        adapters = init_lora(params, lcfg, jax.random.PRNGKey(1))
+        # non-zero adapters so policy != ref and grads are nontrivial
+        adapters = jax.tree.map(
+            lambda x: x + 0.01 * jnp.ones_like(x), adapters
+        )
+        tx = make_optimizer(ocfg, adapters)
+        state = init_train_state(adapters, tx)
+        dcfg = DPOConfig(beta=0.1, lora_scale=lcfg.scale,
+                         logits_chunk=logits_chunk)
+        step = make_dpo_step(cfg, dcfg, tx)
+        return step(state, params, batch)
+
+    s_dense, m_dense = run(0)
+    for chunk in (16, 20):
+        s_ch, m_ch = run(chunk)
+        for k in m_dense:
+            np.testing.assert_allclose(
+                float(m_ch[k]), float(m_dense[k]), rtol=2e-5, atol=2e-6,
+                err_msg=f"{k} (chunk={chunk})"
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+            s_ch.trainable, s_dense.trainable,
+        )
+
+
+def test_chunked_logits_ddpo_loss_mask():
+    """chunked path honors the DDPO diff mask identically."""
+    cfg, params, state0, _, batch = _setup(loss_type="ddpo")
+    b2, seq = batch["input_ids"].shape
+    rng = np.random.default_rng(0)
+    batch = dict(batch)
+    batch["loss_mask"] = jnp.asarray(rng.integers(0, 2, (b2, seq)))
+    lcfg = LoraConfig(r=4, alpha=8.0,
+                      target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"))
+    ocfg = OptimizerConfig(learning_rate=5e-3, warmup_steps=1, total_steps=50)
+
+    def run(logits_chunk):
+        adapters = init_lora(params, lcfg, jax.random.PRNGKey(1))
+        # non-zero adapters: zero margins would make accuracies knife-edge
+        adapters = jax.tree.map(
+            lambda x: x + 0.01 * jnp.ones_like(x), adapters
+        )
+        tx = make_optimizer(ocfg, adapters)
+        state = init_train_state(adapters, tx)
+        dcfg = DPOConfig(beta=0.1, loss_type="ddpo", lora_scale=lcfg.scale,
+                         logits_chunk=logits_chunk)
+        step = make_dpo_step(cfg, dcfg, tx)
+        return step(state, params, batch)
+
+    _, m_dense = run(0)
+    _, m_ch = run(16)
+    for k in m_dense:
+        np.testing.assert_allclose(
+            float(m_ch[k]), float(m_dense[k]), rtol=2e-5, atol=2e-6,
+            err_msg=k,
+        )

@@ -98,3 +98,55 @@ def test_rm_step_accuracy_improves():
         last = m
     assert float(last["loss"]) < first_loss
     assert float(last["accuracy"]) == 1.0  # overfit one batch
+
+
+def test_sft_chunked_logits_matches_dense():
+    """SFTConfig.logits_chunk path == dense CE: same loss and same updated
+    adapters, in adapter AND full-ft mode (full mode flows lm_head/embed
+    grads through the chunked scan)."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    full = tiny_batch(jax.random.PRNGKey(2))
+    batch = {
+        "input_ids": full["input_ids"][:2],
+        "labels": full["labels"][:2],
+        "pad_mask": full["pad_mask"][:2].at[:, -5:].set(False),
+        "pixel_values": full["pixel_values"],
+        "image_positions": full["image_positions"][:2],
+    }
+    lcfg = LoraConfig(r=4, alpha=8.0,
+                      target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"))
+    ocfg = OptimizerConfig(learning_rate=5e-3, warmup_steps=1, total_steps=40)
+
+    def run(mode, chunk):
+        if mode == "adapter":
+            trainable = init_lora(params, lcfg, jax.random.PRNGKey(1))
+            trainable = jax.tree.map(
+                lambda x: x + 0.01 * jnp.ones_like(x), trainable
+            )
+            base = params
+        else:
+            # copy: the jitted step donates state.trainable, and full mode
+            # would otherwise consume the shared params tree
+            trainable, base = jax.tree.map(jnp.array, params), None
+        tx = make_optimizer(ocfg, trainable)
+        state = init_train_state(trainable, tx)
+        step = make_sft_step(
+            cfg, SFTConfig(lora_scale=lcfg.scale, mode=mode,
+                           logits_chunk=chunk), tx
+        )
+        return step(state, base, batch)
+
+    for mode in ("adapter", "full"):
+        s_dense, m_dense = run(mode, 0)
+        s_ch, m_ch = run(mode, 16)
+        np.testing.assert_allclose(
+            float(m_ch["loss"]), float(m_dense["loss"]), rtol=2e-5,
+            err_msg=mode,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=2e-4, atol=1e-6
+            ),
+            s_ch.trainable, s_dense.trainable,
+        )

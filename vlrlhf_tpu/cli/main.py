@@ -317,6 +317,7 @@ def cmd_dpo(args):
         reference_free=args.reference_free,
         lora_dropout=args.lora_dropout if args.use_lora else 0.0,
         dropout_seed=args.seed,
+        logits_chunk=args.logits_chunk,
     )
     step = make_dpo_step(cfg, dcfg, tx)
     ccfg = CollatorConfig(
@@ -476,6 +477,7 @@ def cmd_sft(args):
             lora_scale=lcfg.scale,
             lora_dropout=args.lora_dropout if args.use_lora else 0.0,
             dropout_seed=args.seed,
+            logits_chunk=args.logits_chunk,
         ),
         tx,
     )
@@ -885,6 +887,12 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--eval_samples", type=int, default=0,
                            help="generate N policy+ref samples from the "
                                 "holdout at each eval (get_batch_samples)")
+        if name in ("dpo", "sft"):
+            p.add_argument("--logits_chunk", type=int, default=0,
+                           help=">0: fused chunked lm_head+logp over "
+                                "S-chunks of this size (never materializes "
+                                "(B,S,V) logits; ~0.5 GiB less peak at 7B, "
+                                "several GiB at Qwen's 151k vocab)")
         if name == "ppo":
             p.add_argument("--reward_model_path", type=str, default=None)
             p.add_argument("--init_kl_coef", type=float, default=0.2)

@@ -227,6 +227,23 @@ def vlm_forward(
     )
 
 
+def lm_head_fn(cfg: VLMConfig, params: PyTree, ctx: Optional[Ctx]):
+    """(B, C, H) -> (B, C, V) chunk head for losses.chunked_logps — the same
+    projection lm_forward applies (tied-embedding dot_general avoids
+    materializing the (H, V) transpose; lm_head LoRA adapters, if targeted,
+    apply per chunk via ctx)."""
+    from vlrlhf_tpu.models.common import linear
+
+    lm_params = params["lm"]
+    lm_ctx = (ctx or Ctx()).sub("lm")
+    if cfg.lm.tie_embeddings:
+        emb = lm_params["embed_tokens"]["embedding"]  # (V, H)
+        return lambda hc: jax.lax.dot_general(
+            hc, emb.astype(hc.dtype), (((2,), (1,)), ((), ()))
+        )
+    return lambda hc: linear(lm_params["lm_head"], hc, lm_ctx.sub("lm_head"))
+
+
 # ─────────────────── reward / value heads ───────────────────
 
 

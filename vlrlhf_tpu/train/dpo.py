@@ -29,8 +29,13 @@ import jax.numpy as jnp
 import optax
 
 from vlrlhf_tpu.models.common import Ctx
-from vlrlhf_tpu.models.vlm import VLMConfig, encode_images, vlm_forward
-from vlrlhf_tpu.train.losses import batch_logps, dpo_loss
+from vlrlhf_tpu.models.vlm import (
+    VLMConfig,
+    encode_images,
+    lm_head_fn,
+    vlm_forward,
+)
+from vlrlhf_tpu.train.losses import batch_logps, chunked_logps, dpo_loss
 from vlrlhf_tpu.train.train_state import TrainState, apply_updates
 
 PyTree = Any
@@ -51,6 +56,10 @@ class DPOConfig:
     # vision tower frozen -> encode images once, reuse across chosen/rejected
     # and policy/ref forwards.
     frozen_vision: bool = True
+    # >0: compute logps via losses.chunked_logps scanning S-chunks of this
+    # size, never materializing (B, S, V) logits — saves ~0.5 GiB peak at 7B
+    # (fits bigger batches); 0 = single lm_head matmul.
+    logits_chunk: int = 0
 
     @property
     def average_log_prob(self) -> bool:
@@ -82,9 +91,7 @@ def _forward_logps(
     dpo_cfg: DPOConfig,
     image_features: Optional[jax.Array],
 ):
-    logits, _ = vlm_forward(
-        model_cfg,
-        params,
+    kwargs = dict(
         input_ids=batch["input_ids"],
         pixel_values=None if image_features is not None else batch.get("pixel_values"),
         image_features=image_features,
@@ -96,13 +103,30 @@ def _forward_logps(
         ctx=ctx,
     )
     loss_mask = batch.get("loss_mask") if dpo_cfg.loss_type == "ddpo" else None
+    s = batch["input_ids"].shape[1]
+    v = model_cfg.lm.vocab_size
+    if dpo_cfg.logits_chunk:
+        hidden, _ = vlm_forward(model_cfg, params, return_logits=False, **kwargs)
+        head_fn = lm_head_fn(model_cfg, params, ctx)
+        logps, logits_sum = chunked_logps(
+            hidden,
+            batch["labels"],
+            head_fn,
+            average_log_prob=dpo_cfg.average_log_prob,
+            loss_mask=loss_mask,
+            chunk=dpo_cfg.logits_chunk,
+        )
+        return logps, logits_sum / (s * v)
+    logits, _ = vlm_forward(model_cfg, params, **kwargs)
     logps = batch_logps(
         logits,
         batch["labels"],
         average_log_prob=dpo_cfg.average_log_prob,
         loss_mask=loss_mask,
     )
-    return logps, logits
+    # per-row f32 logits mean — the TRL logits/chosen metric without keeping
+    # the (B, S, V) tensor alive past this point
+    return logps, logits.astype(jnp.float32).mean(axis=(1, 2))
 
 
 def dpo_step_fn(
@@ -200,8 +224,8 @@ def dpo_step_fn(
             "rewards/margins": jnp.mean(out.chosen_rewards - out.rejected_rewards),
             "logps/chosen": jnp.mean(pc),
             "logps/rejected": jnp.mean(pr),
-            "logits/chosen": jnp.mean(logits[:n_pairs].astype(jnp.float32)),
-            "logits/rejected": jnp.mean(logits[n_pairs:].astype(jnp.float32)),
+            "logits/chosen": jnp.mean(logits[:n_pairs]),
+            "logits/rejected": jnp.mean(logits[n_pairs:]),
         }
         return out.loss, metrics
 

@@ -57,6 +57,77 @@ def batch_logps(
     return per_token.sum(-1)
 
 
+def chunked_logps(
+    hidden: jax.Array,  # (B, S, H) final hidden states (pre lm_head)
+    labels: jax.Array,  # (B, S), LABEL_PAD on non-completion tokens
+    head_fn,  # (B, C, H) -> (B, C, V) logits chunk (lm_head / tied embed)
+    *,
+    average_log_prob: bool = False,
+    loss_mask: Optional[jax.Array] = None,
+    chunk: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """batch_logps without ever materializing (B, S, V) logits.
+
+    lax.scan over S-chunks; each chunk computes head matmul + gather/lse and
+    is jax.checkpoint'ed, so the backward re-derives one (B, C, V) logits
+    chunk at a time instead of holding the full tensor + its f32 softmax VJP.
+    At 7B (V=32000, S=1024) that removes ~0.5 GiB of peak HBM per forward
+    (Liger-kernel-style fused linear+loss, restructured as an XLA scan — a
+    Pallas matmul here would just re-implement what the MXU path already
+    does).
+
+    Returns (logps (B,), logits_sum (B,)) — logits_sum is the f32 sum of all
+    logits over real (unpadded) positions, so callers can reproduce the
+    reference's `logits/chosen` mean metric without the full tensor.
+    """
+    b, s, h = hidden.shape
+    # Shift: logits at t predict labels at t+1 (same as batch_logps).
+    labels_next = jnp.concatenate(
+        [labels[:, 1:], jnp.full((b, 1), LABEL_PAD, labels.dtype)], axis=1
+    )
+    mask = labels_next != LABEL_PAD
+    if loss_mask is not None:
+        lm = jnp.concatenate(
+            [loss_mask[:, 1:], jnp.zeros_like(loss_mask[:, :1])], axis=1
+        )
+        mask = mask & lm.astype(bool)
+    c = min(chunk, s)
+    n = -(-s // c)
+    sp = n * c
+
+    def pad(x, value=0):
+        if sp == s:
+            return x
+        widths = [(0, 0), (0, sp - s)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=value)
+
+    xs = (
+        pad(hidden).reshape(b, n, c, h).swapaxes(0, 1),
+        pad(jnp.where(mask, labels_next, 0)).reshape(b, n, c).swapaxes(0, 1),
+        pad(mask).reshape(b, n, c).swapaxes(0, 1),
+        pad(jnp.ones((b, s), bool)).reshape(b, n, c).swapaxes(0, 1),
+    )
+
+    def body(carry, xs_t):
+        acc_lp, acc_ls = carry
+        hc, lc, mc, vc = xs_t
+        logits = head_fn(hc)  # (B, C, V)
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        tok = jnp.take_along_axis(logits, lc[..., None], axis=-1, mode="clip")[
+            ..., 0
+        ]
+        acc_lp = acc_lp + ((tok.astype(jnp.float32) - lse) * mc).sum(-1)
+        acc_ls = acc_ls + (logits.astype(jnp.float32).sum(-1) * vc).sum(-1)
+        return (acc_lp, acc_ls), None
+
+    body = jax.checkpoint(body, prevent_cse=False)
+    zeros = jnp.zeros((b,), jnp.float32)
+    (logps, logits_sum), _ = jax.lax.scan(body, (zeros, zeros), xs)
+    if average_log_prob:
+        logps = logps / jnp.maximum(mask.sum(-1), 1)
+    return logps, logits_sum
+
+
 class DPOLossOutput(NamedTuple):
     loss: jax.Array  # scalar
     chosen_rewards: jax.Array  # (B,)

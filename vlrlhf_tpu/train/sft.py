@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import optax
 
 from vlrlhf_tpu.models.common import Ctx
-from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
-from vlrlhf_tpu.train.losses import sft_loss
+from vlrlhf_tpu.models.vlm import VLMConfig, lm_head_fn, vlm_forward
+from vlrlhf_tpu.train.losses import LABEL_PAD, chunked_logps, sft_loss
 from vlrlhf_tpu.train.train_state import TrainState, apply_updates
 
 PyTree = Any
@@ -28,6 +28,10 @@ class SFTConfig:
     mode: str = "adapter"  # 'adapter' | 'full'
     lora_dropout: float = 0.0
     dropout_seed: int = 0
+    # >0: fused chunked lm_head + CE over S-chunks (losses.chunked_logps) —
+    # never materializes the (B, S, V) f32 log_softmax; biggest win on
+    # large-vocab families (Qwen V=151k).
+    logits_chunk: int = 0
 
 
 def sft_step_fn(
@@ -56,9 +60,7 @@ def sft_step_fn(
         else:
             params = trainable
             ctx = Ctx()
-        logits, _ = vlm_forward(
-            model_cfg,
-            params,
+        kwargs = dict(
             input_ids=batch["input_ids"],
             pixel_values=batch.get("pixel_values"),
             image_positions=batch.get("image_positions"),
@@ -68,7 +70,24 @@ def sft_step_fn(
             pad_mask=batch["pad_mask"],
             ctx=ctx,
         )
-        loss = sft_loss(logits, batch["labels"], batch["pad_mask"])
+        if sft_cfg.logits_chunk:
+            hidden, _ = vlm_forward(
+                model_cfg, params, return_logits=False, **kwargs
+            )
+            logps, _ = chunked_logps(
+                hidden,
+                batch["labels"],
+                lm_head_fn(model_cfg, params, ctx),
+                loss_mask=batch["pad_mask"],
+                chunk=sft_cfg.logits_chunk,
+            )
+            mask = (batch["labels"][:, 1:] != LABEL_PAD) & batch["pad_mask"][
+                :, 1:
+            ].astype(bool)
+            loss = -jnp.sum(logps) / jnp.maximum(jnp.sum(mask), 1)
+        else:
+            logits, _ = vlm_forward(model_cfg, params, **kwargs)
+            loss = sft_loss(logits, batch["labels"], batch["pad_mask"])
         return loss, {"loss": loss}
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
