@@ -50,7 +50,7 @@ def _compile_cache():
 
 
 def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
-                 quantize=False, dpo_kwargs=None):
+                 quantize=False, dpo_kwargs=None, quant_patterns=None):
     """Returns (pairs_per_sec, step_ms, mfu, params_b). NOTE:
     block_until_ready does not synchronize over the axon tunnel; fetching a
     value does."""
@@ -79,10 +79,9 @@ def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
     if quantize:
         from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS, quantize_params
 
+        pats = quant_patterns or TRAIN_QUANT_PATTERNS
         params = jax.jit(
-            lambda k: quantize_params(
-                init_vlm_params(cfg, k), TRAIN_QUANT_PATTERNS
-            )
+            lambda k: quantize_params(init_vlm_params(cfg, k), pats)
         )(jax.random.PRNGKey(0))
     else:
         params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
@@ -167,6 +166,20 @@ def main():
         cfg7q, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
         precompute_ref=True, quantize=True,
     )
+    # QWEN-VL 7B (9.66B params: 151k vocab + ViT-bigG + resampler) — only
+    # fits on one v5e with the WIDE int8 set (frozen vision tower +
+    # projector quantized too, ops/quant.py TRAIN_QUANT_PATTERNS_WIDE)
+    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS_WIDE
+
+    cfgqw = FAMILIES["qwen_vl"].make_config()
+    cfgqw = dataclasses.replace(
+        cfgqw, lm=dataclasses.replace(cfgqw.lm, remat_policy="mlp1")
+    )
+    pps_qw, ms_qw, mfu_qw, pb_qw = _measure_dpo(
+        cfgqw, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=True, quantize=True,
+        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE,
+    )
     # continuity: round-1 1.5B shape, online ref ('acts' fits in bf16 here)
     cfg15 = graft._flagship_config(tiny=False)
     cfg15 = dataclasses.replace(
@@ -197,6 +210,14 @@ def main():
             "pairs_per_sec": round(pps7q, 3), "pairs_per_step": 1,
             "step_ms": round(ms7q, 1), "mfu": round(mfu7q, 4),
             "ref_logps": "precomputed", "remat_policy": "acts",
+        },
+        "qlora_int8_qwenvl_7b": {
+            # Qwen-VL-Chat geometry (9.66B total params) — UNRUNNABLE on one
+            # v5e without the wide int8 set; mlp1 remat is the fastest fit
+            "pairs_per_sec": round(pps_qw, 3), "pairs_per_step": 1,
+            "step_ms": round(ms_qw, 1), "mfu": round(mfu_qw, 4),
+            "params_b": round(pb_qw, 2), "ref_logps": "precomputed",
+            "remat_policy": "mlp1", "quant": "int8 lm+vision+projector",
         },
         "continuity_1p5b": {
             "pairs_per_sec": round(pps15, 3), "pairs_per_step": 4,

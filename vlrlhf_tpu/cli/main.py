@@ -65,6 +65,10 @@ def _common_args(p: argparse.ArgumentParser):
                    default=False)
     p.add_argument("--bits", type=int, default=8, choices=[8],
                    help="QLoRA weight bits (TPU build: int8)")
+    p.add_argument("--q_lora_vision", type=lambda x: x.lower() == "true",
+                   default=False,
+                   help="with --q_lora: also int8 the frozen vision tower + "
+                        "projector (needed to fit Qwen-VL 7B on 16 GiB)")
     p.add_argument("--bf16", type=lambda x: x.lower() == "true", default=True)
     p.add_argument("--report_to", type=str, default="jsonl")
     p.add_argument("--run_name", type=str, default=None)
@@ -199,12 +203,21 @@ def _setup_training(args, cfg, params, family):
     )
     rules = default_lm_rules()
     if getattr(args, "q_lora", False) and args.use_lora:
-        from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS, quantize_params
+        from vlrlhf_tpu.ops.quant import (
+            TRAIN_QUANT_PATTERNS,
+            TRAIN_QUANT_PATTERNS_WIDE,
+            quantize_params,
+        )
 
+        pats = (
+            TRAIN_QUANT_PATTERNS_WIDE
+            if getattr(args, "q_lora_vision", False)
+            else TRAIN_QUANT_PATTERNS
+        )
         # Donated: XLA frees each bf16 kernel as its int8 twin lands, so a
         # 13 GiB base quantizes in place on a 16 GiB chip.
         params = jax.jit(
-            lambda p: quantize_params(p, TRAIN_QUANT_PATTERNS),
+            lambda p: quantize_params(p, pats),
             donate_argnums=0,
         )(params)
     params = shard_pytree(rules, params, mesh)

@@ -107,7 +107,7 @@ def projector_forward(cfg: ProjectorConfig, p: PyTree, x: jax.Array) -> jax.Arra
 
         x = resampler_forward(_resampler_cfg(cfg, x.dtype), p["resampler"], x)
         x = layer_norm(x, p["ln_post"]["weight"], p["ln_post"]["bias"], 1e-6)
-        return x @ p["proj"]["kernel"].astype(x.dtype)
+        return linear(p["proj"], x)  # linear() handles int8-quantized proj
     x = linear(p["fc1"], x)
     if cfg.kind == "mlp2x_gelu":
         x = linear(p["fc2"], jax.nn.gelu(x))

@@ -49,6 +49,14 @@ DEFAULT_QUANT_PATTERNS = (
 # convention (prepare_model_for_kbit_training) for the same reason.
 TRAIN_QUANT_PATTERNS = (r"(^|/)lm/layers_scanned/(attn|mlp)/",)
 
+# Big-tower / big-vocab models (Qwen-VL: ViT-bigG ~1.9B + 151k vocab): also
+# quantize the frozen vision stack and resampler/projector linears. Needed
+# to fit Qwen-VL 7B DPO on one 16 GiB chip; lm_head/embed stay bf16.
+TRAIN_QUANT_PATTERNS_WIDE = TRAIN_QUANT_PATTERNS + (
+    r"(^|/)vision/layers_scanned/(attn|mlp)/",
+    r"(^|/)projector/",
+)
+
 
 def quantize_linear(p: dict, dtype=jnp.int8) -> dict:
     """Quantize one linear param dict {"kernel", opt "bias"} to int8.
