@@ -64,3 +64,54 @@ def test_judge_z_means_unresolved():
 def test_judge_prompt_matches_reference_protocol():
     assert "output a single uppercase character" in JUDGE_TEMPLATE
     assert "Example 1" in JUDGE_TEMPLATE and "Your output: " in JUDGE_TEMPLATE
+
+
+def test_parse_score_grid():
+    from vlrlhf_tpu.eval.judge import parse_score
+
+    assert parse_score("0.8") == 0.8
+    assert parse_score("1.0") == 1.0
+    assert parse_score("1") == 1.0
+    assert parse_score("0") == 0.0
+    assert parse_score("Correctness: 0.5 because...") == 0.5
+    assert parse_score(".7") == 0.7
+    assert parse_score("0.85 maybe") == 0.8  # snapped to the 0.1 grid
+    assert parse_score("no idea") is None
+
+
+def test_grade_freeform_mmvet_role():
+    """MM-Vet grading pass: every row with a gold answer is graded 0-1;
+    unparseable judge output leaves the row ungraded (scorer falls back)."""
+    from vlrlhf_tpu.eval.benchmarks import MMVet
+    from vlrlhf_tpu.eval.judge import grade_freeform
+
+    results = [
+        {"question": "How many apples?", "answer": "3 <AND> red",
+         "response": "five"},
+        {"question": "Which city is this?", "answer": "paris <OR> france",
+         "response": "This is Paris."},
+        {"question": "Describe.", "answer": "",
+         "response": "free text, no gold"},            # never graded
+        {"question": "Weird row", "answer": "something",
+         "response": "???"},                           # judge fails to emit
+    ]
+    stub = _StubRunner({"How many apples": "0.0",
+                        "Which city": "1.0",
+                        "Weird row": "hmm, not sure"})
+    graded = grade_freeform(results, EngineJudge(stub))
+    assert len(stub.seen) == 3  # the no-gold row never hit the judge
+    assert graded[0]["judge_score"] == 0.0
+    assert graded[1]["judge_score"] == 1.0
+    assert "judge_score" not in graded[2]
+    assert "judge_score" not in graded[3]
+
+    # MMVet.score: judge_score where present, substring fallback otherwise
+    # (row 3: "something" not in "???" -> 0)
+    m = MMVet().score(graded)
+    assert m["acc"] == round(100 * (0.0 + 1.0 + 0.0 + 0.0) / 4, 2)
+    # fallback-only (no judge): row 1 matches by substring? "-1 <AND> -5"
+    # not a substring; row 2 gold "birthday <OR> party" not a substring ->
+    # substring fallback scores 0 for structured golds, which is exactly why
+    # the grading judge exists
+    m2 = MMVet().score(results)
+    assert m2["acc"] == 0.0

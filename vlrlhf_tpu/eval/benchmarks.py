@@ -209,14 +209,19 @@ class MMVet(Benchmark):
         return [dict(r, question=r["question"]) for r in rows]
 
     def score(self, results):
-        # official MM-Vet uses a GPT-4 grader; hermetic fallback: substring
-        n = sum(
-            1
-            for r in results
-            if str(r.get("answer", "")).lower().strip()
-            and str(r["answer"]).lower().strip() in r["response"].lower()
-        )
-        return {"acc": round(100 * n / max(len(results), 1), 2)}
+        # Graded rows (LLM grading judge, eval/judge.py:grade_freeform — the
+        # official MM-Vet GPT-grader role) average their 0-1 judge_score;
+        # ungraded rows use the hermetic substring fallback.
+        total = 0.0
+        for r in results:
+            if r.get("judge_score") is not None:
+                total += float(r["judge_score"])
+            elif (
+                str(r.get("answer", "")).lower().strip()
+                and str(r["answer"]).lower().strip() in r["response"].lower()
+            ):
+                total += 1.0
+        return {"acc": round(100 * total / max(len(results), 1), 2)}
 
 
 class _TSVMultipleChoice(Benchmark):
@@ -343,9 +348,14 @@ def run_benchmark(
     if judge is not None and bench.mode != "ppl":
         # two-stage extraction: deterministic first, LLM judge for the rest
         # (the reference's lmdeploy judge role — eval/judge.py)
-        from vlrlhf_tpu.eval.judge import judge_unresolved
+        from vlrlhf_tpu.eval.judge import grade_freeform, judge_unresolved
 
-        results = judge_unresolved(results, judge)
+        if name == "mmvet":
+            # free-form 0-1 grading (the official MM-Vet GPT-grader role,
+            # reference eval/mmvet/calculate.py:25 HF-space client)
+            results = grade_freeform(results, judge)
+        else:
+            results = judge_unresolved(results, judge)
     metrics = bench.score(results)
     if output_json and is_main_process():
         from vlrlhf_tpu.eval.db import save_results_json

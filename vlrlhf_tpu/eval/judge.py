@@ -40,6 +40,46 @@ JUDGE_TEMPLATE = (
 )
 
 
+# MM-Vet grading protocol (the official evaluator the reference calls via
+# the whyu-mm-vet-evaluator HF space, eval/mmvet/calculate.py:25): grade a
+# free-form prediction against a gold answer with <AND>/<OR> structure on a
+# 0.0-1.0 scale. Few-shot examples paraphrase the public rubric.
+GRADER_TEMPLATE = (
+    "Compare the ground truth and prediction from AI models, to give a "
+    "correctness score for the prediction. <AND> in the ground truth means "
+    "it is correct only if all elements are present in the prediction, and "
+    "<OR> means it is correct if any one element is present. The "
+    "correctness score is a number between 0.0 (totally wrong) and 1.0 "
+    "(totally right), in steps of 0.1. Output ONLY the score.\n"
+    "Example 1:\n"
+    "Question: What is x in the equation?\n"
+    "Ground truth: -1 <AND> -5\nPrediction: x = 3\nCorrectness: 0.0\n"
+    "Example 2:\n"
+    "Question: What occasion is shown?\n"
+    "Ground truth: birthday <OR> celebration\n"
+    "Prediction: It looks like a birthday party.\nCorrectness: 1.0\n"
+    "Example 3:\n"
+    "Question: {}\nGround truth: {}\nPrediction: {}\nCorrectness: "
+)
+
+_SCORE_RE = None
+
+
+def parse_score(text: str):
+    """First 0-1 float in the judge's output, snapped to the 0.1 grid the
+    MM-Vet rubric uses; None if unparseable."""
+    import re
+
+    global _SCORE_RE
+    if _SCORE_RE is None:
+        _SCORE_RE = re.compile(r"(?<!\d)(1(?:\.0+)?|0?\.\d+|0|1)(?!\d)")
+    m = _SCORE_RE.search(text)
+    if not m:
+        return None
+    val = min(max(float(m.group(1)), 0.0), 1.0)
+    return round(val * 10) / 10
+
+
 class EngineJudge:
     """Batch choice-matching over an EvalRunner (any text-capable family).
 
@@ -78,6 +118,41 @@ class EngineJudge:
                 # judge was verbose — run the deterministic extractor on it
                 out.append(extract_choice(text, r["options"]))
         return out
+
+
+    def grade(self, rows: Sequence[dict]) -> "list[Optional[float]]":
+        """rows: [{question, answer, response}] -> 0.0-1.0 scores (None for
+        unparseable judge output). The MM-Vet grading role."""
+        prompts = [
+            GRADER_TEMPLATE.format(r["question"], r["answer"], r["response"])
+            for r in rows
+        ]
+        judged = self.runner.run_vqa(
+            [{"question": p, "img": None} for p in prompts],
+            batch_size=self.batch_size,
+        )
+        return [parse_score(j["response"]) for j in judged]
+
+
+def grade_freeform(
+    results: Sequence[dict],
+    judge: "EngineJudge",
+) -> list[dict]:
+    """Attach a 'judge_score' to every row with a gold answer (the MM-Vet
+    grading pass); rows whose score the judge failed to emit stay ungraded
+    and fall back to the deterministic scorer."""
+    idx = [i for i, r in enumerate(results) if str(r.get("answer", "")).strip()]
+    rows = [
+        {"question": results[i].get("question", ""),
+         "answer": results[i]["answer"], "response": results[i]["response"]}
+        for i in idx
+    ]
+    out = [dict(r) for r in results]
+    if rows:
+        for i, s in zip(idx, judge.grade(rows)):
+            if s is not None:
+                out[i]["judge_score"] = s
+    return out
 
 
 def judge_unresolved(
