@@ -275,3 +275,60 @@ def test_sharded_quantized_step_matches_unsharded():
         float(m_sharded["loss"]), float(m_unsharded["loss"]),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_wide_patterns_quantize_vision_and_projector():
+    """TRAIN_QUANT_PATTERNS_WIDE (--q_lora_vision): vision tower + projector
+    linears go int8 alongside the LM stack; lm_head/embed stay bf16; the
+    multimodal forward stays close to bf16 (the Qwen-VL-7B-fits-on-one-v5e
+    mode)."""
+    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS_WIDE
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params(params, TRAIN_QUANT_PATTERNS_WIDE)
+    assert "kernel_q" in qparams["vision"]["layers_scanned"]["attn"]["wq"]
+    assert "kernel_q" in qparams["projector"]["fc1"]
+    assert "kernel" in qparams["lm"]["lm_head"]  # head stays bf16
+    assert quantized_fraction(qparams) > quantized_fraction(
+        quantize_params(params, TRAIN_QUANT_PATTERNS)
+    )
+    batch = tiny_batch(jax.random.PRNGKey(2), n_pairs=1)
+    kwargs = dict(
+        input_ids=batch["input_ids"], pixel_values=batch["pixel_values"],
+        image_positions=batch["image_positions"], pad_mask=batch["pad_mask"],
+    )
+    logits, _ = vlm_forward(cfg, params, **kwargs)
+    qlogits, _ = vlm_forward(cfg, qparams, **kwargs)
+    a = np.asarray(logits, np.float32).ravel()
+    b = np.asarray(qlogits, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995, cos
+
+
+def test_wide_patterns_resampler_projector():
+    """Qwen-style resampler projector ('proj') routes through linear() so
+    the wide int8 set flows through it (vlm.py projector_forward)."""
+    import dataclasses
+
+    from vlrlhf_tpu.models.registry import FAMILIES
+    from vlrlhf_tpu.models.vlm import projector_forward
+    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS_WIDE
+
+    qcfg = FAMILIES["qwen_vl"].make_config()
+    pcfg = dataclasses.replace(
+        qcfg.projector, in_dim=32, out_dim=64, num_queries=4, num_heads=2
+    )
+    from vlrlhf_tpu.models.vlm import init_projector_params
+
+    p = init_projector_params(pcfg, jax.random.PRNGKey(0), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+    y = projector_forward(pcfg, p, x)
+    qp = quantize_params({"projector": p}, TRAIN_QUANT_PATTERNS_WIDE)[
+        "projector"
+    ]
+    assert "kernel_q" in qp["proj"]
+    yq = projector_forward(pcfg, qp, x)
+    a, b = np.asarray(y).ravel(), np.asarray(yq).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos
