@@ -180,6 +180,17 @@ def main():
         precompute_ref=True, quantize=True,
         quant_patterns=TRAIN_QUANT_PATTERNS_WIDE,
     )
+    # XC2 7B (8.06B: InternLM2 GQA + PLoRA + 490px tower, 1225 image tokens
+    # => seq 2048 to hold a real row) — wide int8, 'attn' remat
+    cfgxc = FAMILIES["internlm_xc2"].make_config()
+    cfgxc = dataclasses.replace(
+        cfgxc, lm=dataclasses.replace(cfgxc.lm, remat_policy="attn")
+    )
+    pps_xc, ms_xc, mfu_xc, pb_xc = _measure_dpo(
+        cfgxc, n_pairs=1, seq=2048, n_steps=10, n_warmup=3,
+        precompute_ref=True, quantize=True,
+        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE,
+    )
     # continuity: round-1 1.5B shape, online ref ('acts' fits in bf16 here)
     cfg15 = graft._flagship_config(tiny=False)
     cfg15 = dataclasses.replace(
@@ -218,6 +229,15 @@ def main():
             "step_ms": round(ms_qw, 1), "mfu": round(mfu_qw, 4),
             "params_b": round(pb_qw, 2), "ref_logps": "precomputed",
             "remat_policy": "mlp1", "quant": "int8 lm+vision+projector",
+        },
+        "qlora_int8_xc2_7b": {
+            # InternLM-XComposer2-VL geometry at seq 2048 (PLoRA active at
+            # the 1225 image positions)
+            "pairs_per_sec": round(pps_xc, 3), "pairs_per_step": 1,
+            "seq": 2048, "step_ms": round(ms_xc, 1),
+            "mfu": round(mfu_xc, 4), "params_b": round(pb_xc, 2),
+            "ref_logps": "precomputed", "remat_policy": "attn",
+            "quant": "int8 lm+vision+projector",
         },
         "continuity_1p5b": {
             "pairs_per_sec": round(pps15, 3), "pairs_per_step": 4,
