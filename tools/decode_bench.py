@@ -2,8 +2,9 @@
 
 Measures ms/token of the host-driven donated decode step and the device
 while_loop decode at B in {8, 32}, flagship shape, cache_len 1024.
-Usage: python tools/decode_bench.py [--int8] [--kv8] [--7b] [--long]
+Usage: python tools/decode_bench.py [--int8] [--kv8] [--7b] [--long] [--batch N]
   --int8  quantize LM weights to int8 (ops/quant.py W8A16 serving mode)
+  --batch N  bench only batch size N (default: 8 and 32)
   --kv8   int8 KV cache (GenerateConfig kv_cache_dtype='int8')
   --7b    LLaVA-1.5-7B geometry instead of the 1.5B flagship
   --long  prompt 896 + 128 new (cache 1024) instead of 128 + 32
@@ -57,7 +58,9 @@ if __name__ == "__main__":
     seven_b = "--7b" in sys.argv
     kv8 = "--kv8" in sys.argv
     n_new, prompt = (128, 896) if "--long" in sys.argv else (32, 128)
-    for B in (8, 32):
+    bs = ([int(sys.argv[sys.argv.index("--batch") + 1])]
+          if "--batch" in sys.argv else [8, 32])
+    for B in bs:
         for mode in ("device", "host"):
             bench(B, n_new=n_new, prompt=prompt, mode=mode, int8=int8,
                   seven_b=seven_b, kv8=kv8)
