@@ -70,41 +70,60 @@ def test_family_lora_targets_match(family):
         assert "lm_head" not in path, path
 
 
-def test_plora_gates_lora_to_image_positions():
+def test_plora_base_adapters_gated_to_image_positions():
+    """XC2 semantics (build_mlp.py:158-203 + peft wrapping):
+    - the CHECKPOINT-BUILT-IN PLoRA (params['plora'] -> Ctx.base_adapters)
+      applies only at image positions, in every forward (incl. adapter-off
+      reference);
+    - the NEW trainable LoRA applies at ALL positions (peft knows nothing of
+      im_mask)."""
     fam = FAMILIES["internlm_xc2"]
     cfg = scale_down(fam.make_config())
     assert cfg.plora
     params = init_vlm_params(cfg, jax.random.PRNGKey(0))
     ids, pos, pixels = _batch(cfg, jax.random.PRNGKey(1))
     lcfg = LoraConfig(r=2, alpha=4.0, target_patterns=fam.lora_targets)
-    adapters = init_lora(params, lcfg, jax.random.PRNGKey(2))
-    adapters = jax.tree.map(lambda x: x + 0.05, adapters)  # non-trivial delta
+    pad = jnp.ones_like(ids, bool)
+
+    # built-in PLoRA tree rides with params (the cli/loading.py attachment)
+    plora = init_lora(params, lcfg, jax.random.PRNGKey(3))
+    plora = jax.tree.map(lambda x: x + 0.05, plora)
+    params_p = dict(params, plora=plora)
 
     base, _ = vlm_forward(
         cfg, params, input_ids=ids, pixel_values=pixels, image_positions=pos,
-        pad_mask=jnp.ones_like(ids, bool),
+        pad_mask=pad,
     )
-    plora_out, _ = vlm_forward(
-        cfg, params, input_ids=ids, pixel_values=pixels, image_positions=pos,
-        pad_mask=jnp.ones_like(ids, bool),
-        ctx=Ctx(adapters=adapters, lora_scale=lcfg.scale),
+    with_plora, _ = vlm_forward(
+        cfg, params_p, input_ids=ids, pixel_values=pixels,
+        image_positions=pos, pad_mask=pad,
     )
-    # with PLoRA, adapters change outputs (image tokens feed all later pos)
-    assert not np.allclose(np.asarray(base), np.asarray(plora_out))
-    # ...but a text-only batch must be UNAFFECTED (mask gates deltas off)
-    cfg_txt = cfg
+    # built-in plora is active WITHOUT any ctx (reference/base forward too)
+    assert not np.allclose(np.asarray(base), np.asarray(with_plora))
+    # ...but gated off when no position is an image position
+    no_img_pos = jnp.full_like(pos, -1)
     base_txt, _ = vlm_forward(
-        cfg_txt, params, input_ids=ids, pad_mask=jnp.ones_like(ids, bool),
-        image_positions=jnp.full_like(pos, -1), pixel_values=pixels,
+        cfg, params, input_ids=ids, pixel_values=pixels,
+        image_positions=no_img_pos, pad_mask=pad,
     )
     plora_txt, _ = vlm_forward(
-        cfg_txt, params, input_ids=ids, pad_mask=jnp.ones_like(ids, bool),
-        image_positions=jnp.full_like(pos, -1), pixel_values=pixels,
-        ctx=Ctx(adapters=adapters, lora_scale=lcfg.scale),
+        cfg, params_p, input_ids=ids, pixel_values=pixels,
+        image_positions=no_img_pos, pad_mask=pad,
     )
     np.testing.assert_allclose(
         np.asarray(base_txt), np.asarray(plora_txt), atol=1e-5
     )
+
+    # trainable adapters are NOT masked: they change a no-image-position
+    # forward too
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(2))
+    adapters = jax.tree.map(lambda x: x + 0.05, adapters)
+    lora_txt, _ = vlm_forward(
+        cfg, params, input_ids=ids, pixel_values=pixels,
+        image_positions=no_img_pos, pad_mask=pad,
+        ctx=Ctx(adapters=adapters, lora_scale=lcfg.scale),
+    )
+    assert not np.allclose(np.asarray(base_txt), np.asarray(lora_txt))
 
 
 def test_resolve_family_by_architecture():

@@ -209,6 +209,15 @@ def load_model_bundle(
         # by format_multimodal_prompt (wrapped mode).
         overrides["image_token"] = "<imgpad>"
     if family.name == "internlm_xc2":
+        # XC2 checkpoints SHIP trained PLoRA weights (Plora_A/Plora_B on
+        # wqkv/wo/w1/w2/w3, build_mlp.py:158-203) — part of the frozen base,
+        # applied at image positions in every forward. Attach them so
+        # vlm_forward threads them as Ctx.base_adapters.
+        from vlrlhf_tpu.utils.hf_port import port_xc2_plora
+
+        plora = port_xc2_plora(sd, cfg)
+        if plora:
+            params["plora"] = cast_tree(plora, dtype)
         # the reference ADDS <ImageHere> as a special token at load
         # (models/InternLMXC2/__init__.py:304); resolve its real id.
         tokenizer.tok.add_tokens("<ImageHere>", special_tokens=True)

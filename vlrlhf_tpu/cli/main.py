@@ -273,6 +273,7 @@ def _finish(args, state, params, lcfg, processor, cfg=None, family=None):
                 os.path.join(args.output_dir, "merged_hf"),
                 base_dir=args.model_name_or_path,
                 dtype="bfloat16" if args.bf16 else "float32",
+                plora_adapters=merged.get("plora"),
             )
     print(f"saved to {args.output_dir}")
 
@@ -416,9 +417,14 @@ def cmd_dpo(args):
                 ids = processor.maybe_prefix_image_ids(
                     processor.process_conv(conv)["input_ids"], n_img
                 )
-                sample_rows.append(
-                    {"input_ids": ids, "img_path": r.get("img_path")}
-                )
+                srow = {"input_ids": ids, "img_path": r.get("img_path")}
+                if processor.qformer_tokenizer is not None:
+                    # InstructBLIP: instruction-conditioned Q-Former, same as
+                    # the eval harness and PPO rollout paths
+                    srow["qformer_input_ids"] = processor.qformer_ids(
+                        r["prompt"]
+                    )
+                sample_rows.append(srow)
             sample_batch = gcoll(sample_rows)
             sample_gen = Generator(
                 cfg,
@@ -733,18 +739,28 @@ def cmd_ppo(args):
                 parts.append(np.asarray(gen(params, sub, rng=krng)))
             tokens = np.concatenate(parts, axis=0)
             batch = rollout_to_batch(pb, tokens, pad_id)
-            scores = preprocess_scores(reward_fn(batch), ppo_cfg, score_moments)
-            stats = stats_fn(params, state.trainable, batch, scores,
-                             jnp.asarray(kl_ctl.value))
-            float(stats.kl)  # force rollout errors to surface here
+            raw_scores = np.asarray(reward_fn(batch), np.float32)
+            if not np.all(np.isfinite(raw_scores)):
+                raise ValueError(f"non-finite RM scores: {raw_scores}")
         except Exception as e:  # noqa: BLE001 — consensus skip, not crash
             print(f"rollout/reward failed at step {it + 1}: {e}")
             failed = True
         if any_process_failed(failed):
             # Every rank skips together so collectives stay aligned
-            # (base/trainer.py:462-482).
+            # (base/trainer.py:462-482). The vote happens BEFORE any further
+            # global-mesh program AND before the RunningMoments update, so
+            # (a) a rank that failed host-side can't leave survivors blocked
+            # inside stats_fn, and (b) skipped batches never pollute the
+            # score-scaling state (TRL updates moments only for executed
+            # steps). Catchable per-rank failures are host-side (collation,
+            # image IO, rollout bookkeeping); a failure inside a compiled
+            # collective program aborts every rank identically and is not
+            # skippable on any SPMD runtime.
             logger.log(it + 1, {"ppo/skipped": 1.0})
             continue
+        scores = preprocess_scores(raw_scores, ppo_cfg, score_moments)
+        stats = stats_fn(params, state.trainable, batch, scores,
+                         jnp.asarray(kl_ctl.value))
         from vlrlhf_tpu.train.ppo import ppo_update_epochs
 
         state, metrics = ppo_update_epochs(
@@ -872,6 +888,7 @@ def cmd_merge(args):
             os.path.join(args.output_dir, "merged_hf"),
             base_dir=args.model_name_or_path,
             dtype="bfloat16" if args.bf16 else "float32",
+            plora_adapters=merged.get("plora"),
         )
         print(f"HF checkpoint -> {args.output_dir}/merged_hf")
     print(f"merged -> {args.output_dir}/merged")

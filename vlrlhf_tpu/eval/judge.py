@@ -183,6 +183,8 @@ def judge_unresolved(
         for i, letter in zip(unresolved_idx, judge.extract(unresolved_rows)):
             if letter is not None:
                 out[i]["judged_choice"] = letter
-                # scoring reads `response`; normalize to a clean letter
+                # scoring reads `response`; normalize to a clean letter but
+                # keep the model's actual generation in the saved artifacts
+                out[i]["raw_response"] = out[i]["response"]
                 out[i]["response"] = letter
     return out

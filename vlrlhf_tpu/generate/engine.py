@@ -458,6 +458,11 @@ class ChatSession:
             self.gen._compiled[key] = jax.jit(
                 functools.partial(_extend_impl, self.gen.model_cfg,
                                   self.gen.gen_cfg),
+                # donate the session cache/pending: the functional update
+                # aliases in place instead of copying the multi-GB KV
+                # buffers every turn (self.state is reassigned below, so the
+                # donated buffers are never re-read)
+                donate_argnums=(1, 2),
             )
         s = self.state
         sc = s["cache"]["k"].shape[3]

@@ -27,20 +27,33 @@ class Ctx:
     adapters: Optional[PyTree] = None  # adapter pytree (None = base model)
     lora_scale: float = 1.0
     lora_mask: Optional[jax.Array] = None  # PLoRA im_mask (B, S)
+    # XC2's CHECKPOINT-BUILT-IN trained PLoRA (build_mlp.py:158-203): part of
+    # the frozen base, gated to image positions by lora_mask, active in EVERY
+    # forward (policy AND adapter-off reference). r=alpha=256 in the shipped
+    # model (modeling_internlm2.py:215-271) => scale 1.0. Distinct from
+    # `adapters` (the NEW trainable LoRA, which peft applies at all
+    # positions).
+    base_adapters: Optional[PyTree] = None
+    base_scale: float = 1.0
     dropout_rng: Optional[jax.Array] = None
     lora_dropout: float = 0.0
     attn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     def sub(self, key: str) -> "Ctx":
-        """Context for a child module: descend the adapter tree."""
+        """Context for a child module: descend the adapter tree(s)."""
         child = None
         if isinstance(self.adapters, dict):
             child = self.adapters.get(key)
+        base_child = None
+        if isinstance(self.base_adapters, dict):
+            base_child = self.base_adapters.get(key)
         rng = None
         if self.dropout_rng is not None:
             fold = zlib.crc32(key.encode()) & 0x7FFFFFFF
             rng = jax.random.fold_in(self.dropout_rng, fold)
-        return dataclasses.replace(self, adapters=child, dropout_rng=rng)
+        return dataclasses.replace(
+            self, adapters=child, base_adapters=base_child, dropout_rng=rng
+        )
 
 
 def linear(
@@ -63,12 +76,21 @@ def linear(
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
+    if ctx is not None and isinstance(ctx.base_adapters, dict) \
+            and "a" in ctx.base_adapters:
+        # frozen built-in PLoRA: image positions only, no dropout (XC2's
+        # PLoRA.forward — res[im_mask] += B(A(x)) * scaling)
+        bdelta = lora_delta(
+            x, ctx.base_adapters, ctx.base_scale, mask=ctx.lora_mask
+        )
+        y = y + bdelta.astype(y.dtype)
     if ctx is not None and isinstance(ctx.adapters, dict) and "a" in ctx.adapters:
+        # trainable LoRA applies at ALL positions (peft wraps the module and
+        # knows nothing of im_mask, including on XC2's PLoRA linears)
         delta = lora_delta(
             x,
             ctx.adapters,
             ctx.lora_scale,
-            mask=ctx.lora_mask,
             dropout_rng=ctx.dropout_rng,
             dropout=ctx.lora_dropout,
         )

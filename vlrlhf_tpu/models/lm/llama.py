@@ -322,7 +322,9 @@ def lm_decode(
         la = None
         if layer_ctx.adapters is not None:
             la = jax.tree.map(lambda a: a[i], layer_ctx.adapters)
-        lctx = dataclasses.replace(layer_ctx, adapters=la)
+        # base PLoRA never applies here: decode/continuation tokens are
+        # text positions (im_mask=0 in the reference's forward)
+        lctx = dataclasses.replace(layer_ctx, adapters=la, base_adapters=None)
         actx = lctx.sub("attn")
         h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
         q = linear(lp["attn"]["wq"], h, actx.sub("wq")).reshape(b, 1, nh, hd)
@@ -430,7 +432,9 @@ def lm_prefill_chunk(
         la = None
         if layer_ctx.adapters is not None:
             la = jax.tree.map(lambda a: a[i], layer_ctx.adapters)
-        lctx = dataclasses.replace(layer_ctx, adapters=la)
+        # base PLoRA never applies here: decode/continuation tokens are
+        # text positions (im_mask=0 in the reference's forward)
+        lctx = dataclasses.replace(layer_ctx, adapters=la, base_adapters=None)
         actx = lctx.sub("attn")
         h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
         q = linear(lp["attn"]["wq"], h, actx.sub("wq")).reshape(b, c, nh, hd)
@@ -526,14 +530,16 @@ def lm_forward(
 
     def body(carry, xs):
         x = carry
-        lp, la, li, ck, cv, cks, cvs = xs
+        lp, la, lba, li, ck, cv, cks, cvs = xs
         rng = layer_ctx.dropout_rng
         if rng is not None:
             # Distinct dropout stream per layer: the scanned body sees one Ctx,
             # so without this every layer would draw identical LoRA-dropout
             # masks.
             rng = jax.random.fold_in(rng, li)
-        lctx = dataclasses.replace(layer_ctx, adapters=la, dropout_rng=rng)
+        lctx = dataclasses.replace(
+            layer_ctx, adapters=la, base_adapters=lba, dropout_rng=rng
+        )
         h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
         attn_out, new_kv = _attention_block(
             cfg,
@@ -586,6 +592,7 @@ def lm_forward(
     xs = (
         params["layers_scanned"],
         layer_ctx.adapters,
+        layer_ctx.base_adapters,
         jnp.arange(cfg.num_layers),
         cache["k"] if cache is not None else None,
         cache["v"] if cache is not None else None,

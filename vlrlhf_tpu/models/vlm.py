@@ -210,6 +210,10 @@ def vlm_forward(
         ctx = dataclasses.replace(
             ctx,
             lora_mask=image_position_mask(image_positions, input_ids.shape[1]),
+            # checkpoint-built-in trained PLoRA rides with params (attached
+            # by cli/loading.py for internlm_xc2) — active in every forward,
+            # gated to the image positions by lora_mask
+            base_adapters=params.get("plora", ctx.base_adapters),
         )
 
     return lm_forward(
