@@ -50,7 +50,8 @@ def _compile_cache():
 
 
 def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
-                 quantize=False, dpo_kwargs=None, quant_patterns=None):
+                 quantize=False, dpo_kwargs=None, quant_patterns=None,
+                 with_plora=False):
     """Returns (pairs_per_sec, step_ms, mfu, params_b). NOTE:
     block_until_ready does not synchronize over the axon tunnel; fetching a
     value does."""
@@ -85,6 +86,17 @@ def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
         )(jax.random.PRNGKey(0))
     else:
         params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))
+    if with_plora:
+        # XC2 ships ~590M params of TRAINED built-in PLoRA (r=256) that ride
+        # in every forward at image positions; include an equivalently-shaped
+        # tree so the capacity/throughput numbers reflect the real model.
+        plora_cfg = LoraConfig(
+            r=256, alpha=256.0,
+            target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"),
+        )
+        params["plora"] = jax.jit(
+            lambda k: init_lora(params, plora_cfg, k, dtype=cfg.lm.dtype)
+        )(jax.random.PRNGKey(7))
     lcfg = LoraConfig(
         r=64, alpha=16.0, target_patterns=(r"lm/.*attn/", r"lm/.*mlp/")
     )
@@ -189,7 +201,7 @@ def main():
     pps_xc, ms_xc, mfu_xc, pb_xc = _measure_dpo(
         cfgxc, n_pairs=1, seq=2048, n_steps=10, n_warmup=3,
         precompute_ref=True, quantize=True,
-        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE,
+        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE, with_plora=True,
     )
     # continuity: round-1 1.5B shape, online ref ('acts' fits in bf16 here)
     cfg15 = graft._flagship_config(tiny=False)
