@@ -4,8 +4,9 @@ Measures the full jitted DPO step at three configs on the attached chip:
   - HEADLINE: LLaVA-1.5-7B geometry (hidden 4096 / 32L / ff 11008 + CLIP-L
     tower; 7.06B params = 13.2 GiB bf16), LoRA r64, seq 1024, precomputed
     ref logps (--precompute_ref_logps mode: the in-step ref forward is
-    skipped). Largest fitting batch on a 16GB v5e is 1 pair/step; 2 pairs
-    fails at compile (BASELINE.md north star is pairs/sec/chip AT 7B).
+    skipped), 'attn' remat + chunked lm_head (logits_chunk=256 — the margin
+    that lets 'attn' fit in bf16). Largest fitting batch on a 16GB v5e is
+    1 pair/step (BASELINE.md north star is pairs/sec/chip AT 7B).
   - qlora_int8_7b: same geometry with the int8 frozen base (--q_lora,
     ops/quant.py) + remat_policy 'acts' — the fastest 7B training mode
     (halved param HBM pays for saving all per-layer activations).
@@ -162,11 +163,16 @@ def main():
     import dataclasses
 
     # HEADLINE: the 7B north star, bf16 base (the reference's own recipe
-    # dtype; largest fitting batch = 1 pair, full remat — every cheaper
-    # remat policy OOMs with a 13.2 GiB bf16 base on 16 GiB)
+    # dtype; largest fitting batch = 1 pair). 'attn' remat fits ONLY with
+    # the chunked lm_head (the (B,S,V) logits + f32 softmax VJP it removes
+    # are exactly the margin) and beats full remat 1.567 vs 1.539 pairs/s.
     cfg7 = FAMILIES["llava"].make_config()
+    cfg7 = dataclasses.replace(
+        cfg7, lm=dataclasses.replace(cfg7.lm, remat_policy="attn")
+    )
     pps7, ms7, mfu7, pb7 = _measure_dpo(
-        cfg7, n_pairs=1, seq=1024, n_steps=10, n_warmup=3, precompute_ref=True
+        cfg7, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=True, dpo_kwargs={"logits_chunk": 256},
     )
     # PERFORMANCE MODE: QLoRA (int8 frozen base, ops/quant.py — the
     # reference supports q_lora too, auto_load.py:509-578). Halved param
@@ -226,6 +232,8 @@ def main():
         "mfu": round(mfu7, 4),
         "mfu_vs_40pct_target": round(mfu7 / 0.40, 3),
         "ref_logps": "precomputed",
+        "remat_policy": "attn",
+        "logits_chunk": 256,
         "flops_accounting": "LoRA 4N fwd+bwd (frozen base: no dW matmuls)",
         "qlora_int8_7b": {
             # same 7B geometry, int8 frozen base + bf16 LoRA/head, remat
