@@ -37,9 +37,13 @@ PEAK_BF16_FLOPS = {
 
 
 def _compile_cache():
+    # TPU only: cached XLA:CPU AOT artifacts are machine-feature-specific
+    # and SIGILL when loaded on a mismatched host (see cli/main.py).
     try:
         import os
 
+        if jax.default_backend() != "tpu":
+            return
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get("JAX_COMPILATION_CACHE_DIR",

@@ -975,8 +975,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache — first compile of a 7B step takes
-    minutes; subsequent runs hit the cache."""
+    minutes; subsequent runs hit the cache.
+
+    TPU ONLY: cached XLA:CPU AOT artifacts bake in host machine features; a
+    process on a different (or differently-detected) host that loads one
+    aborts with SIGILL-class crashes. A poisoned CPU entry took down the
+    test suite this way once — never enable the cache for CPU runs."""
     try:
+        if jax.default_backend() != "tpu":
+            return
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax")
         )
