@@ -267,3 +267,67 @@ def test_score_scaling_and_norm_pipeline():
     np.testing.assert_allclose(
         preprocess_scores(scores, cfg, RunningMoments()), scores
     )
+
+
+def test_chunked_token_logps_stats_and_update_match_dense():
+    """PPOConfig.logits_chunk: rollout stats (logprobs/ref/advantages) and
+    the inner update match the dense-logits path exactly (the scanned
+    chunked lm_head changes memory, not math)."""
+    cfg, params, lcfg, _, state, _, _ = _setup()
+    gen = Generator(
+        cfg, GenerateConfig(max_new_tokens=4, do_sample=True, pad_token_id=PAD),
+        adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
+    )
+    pb = _prompts(b=4)
+    tokens = gen(params, pb, rng=jax.random.PRNGKey(3))
+    batch = rollout_to_batch(pb, tokens, PAD)
+    scores = _reward(batch)
+
+    def run(chunk):
+        ppo_cfg = PPOConfig(lora_scale=lcfg.scale, ppo_epochs=1,
+                            init_kl_coef=0.05, logits_chunk=chunk)
+        trainable = {
+            "adapters": jax.tree.map(
+                lambda x: x + 0.01 * jnp.ones_like(x),
+                init_lora(params, lcfg, jax.random.PRNGKey(1)),
+            ),
+            "v_head": {"kernel": jnp.full((cfg.lm.hidden_size, 1), 0.01)},
+        }
+        tx = make_optimizer(
+            OptimizerConfig(learning_rate=8e-3, warmup_steps=1,
+                            total_steps=200, max_grad_norm=1.0),
+            trainable,
+        )
+        st = init_train_state(trainable, tx)
+        stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
+        stats = stats_fn(params, st.trainable, batch, scores,
+                         jnp.asarray(0.05))
+        st2, m = update_fn(st, params, batch, stats)
+        return stats, st2, m
+
+    s_dense, st_dense, m_dense = run(0)
+    for chunk in (8, 6):  # divides and does-not-divide L
+        s_ch, st_ch, m_ch = run(chunk)
+        np.testing.assert_allclose(
+            np.asarray(s_ch.logprobs), np.asarray(s_dense.logprobs),
+            rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ch.ref_logprobs), np.asarray(s_dense.ref_logprobs),
+            rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ch.advantages), np.asarray(s_dense.advantages),
+            rtol=2e-4, atol=2e-5,
+        )
+        for k in m_dense:
+            np.testing.assert_allclose(
+                float(m_ch[k]), float(m_dense[k]), rtol=2e-4, atol=2e-6,
+                err_msg=f"{k} (chunk={chunk})",
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=2e-4, atol=1e-6
+            ),
+            st_ch.trainable, st_dense.trainable,
+        )

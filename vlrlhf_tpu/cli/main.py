@@ -642,6 +642,7 @@ def cmd_ppo(args):
         ppo_epochs=args.ppo_epochs, minibatch_size=args.minibatch_size,
         use_score_scaling=args.use_score_scaling,
         use_score_norm=args.use_score_norm, score_clip=args.score_clip,
+        logits_chunk=args.logits_chunk,
     )
     stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
     kl_ctl = AdaptiveKLController(ppo_cfg)
@@ -917,7 +918,7 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--eval_samples", type=int, default=0,
                            help="generate N policy+ref samples from the "
                                 "holdout at each eval (get_batch_samples)")
-        if name in ("dpo", "sft"):
+        if name in ("dpo", "sft", "ppo"):
             p.add_argument("--logits_chunk", type=int, default=0,
                            help=">0: fused chunked lm_head+logp over "
                                 "S-chunks of this size (never materializes "

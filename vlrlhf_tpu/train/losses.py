@@ -128,6 +128,50 @@ def chunked_logps(
     return logps, logits_sum
 
 
+def chunked_token_logps(
+    hidden: jax.Array,  # (B, S, H) final hidden states (pre lm_head)
+    ids: jax.Array,  # (B, S) token ids
+    head_fn,  # (B, C, H) -> (B, C, V)
+    *,
+    chunk: int = 512,
+) -> jax.Array:
+    """Per-token logp of ids[t+1] under head(hidden[t]), (B, S-1) — the
+    PPO _token_logprobs computation without materializing (B, S, V) logits
+    (same scanned/checkpointed structure as chunked_logps, but emitting the
+    per-position values instead of their sum)."""
+    b, s, h = hidden.shape
+    ids_next = jnp.concatenate(
+        [ids[:, 1:], jnp.zeros((b, 1), ids.dtype)], axis=1
+    )
+    c = min(chunk, s)
+    n = -(-s // c)
+    sp = n * c
+
+    def pad(x):
+        if sp == s:
+            return x
+        widths = [(0, 0), (0, sp - s)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths)
+
+    xs = (
+        pad(hidden).reshape(b, n, c, h).swapaxes(0, 1),
+        pad(ids_next).reshape(b, n, c).swapaxes(0, 1),
+    )
+
+    def body(carry, xs_t):
+        hc, lc = xs_t
+        logits = head_fn(hc)  # (B, C, V)
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        tok = jnp.take_along_axis(logits, lc[..., None], axis=-1, mode="clip")[
+            ..., 0
+        ]
+        return carry, tok.astype(jnp.float32) - lse
+
+    body = jax.checkpoint(body, prevent_cse=False)
+    _, ys = jax.lax.scan(body, None, xs)  # (n, B, C)
+    return ys.swapaxes(0, 1).reshape(b, sp)[:, : s - 1]
+
+
 class DPOLossOutput(NamedTuple):
     loss: jax.Array  # scalar
     chosen_rewards: jax.Array  # (B,)

@@ -53,6 +53,16 @@ class PPOConfig:
     score_clip: Optional[float] = None
     use_score_scaling: bool = False
     use_score_norm: bool = False
+    # >0: per-token logps via losses.chunked_token_logps — the (B, L, V)
+    # logits never materialize in the stats or update forwards (PPO holds
+    # policy+ref+update logits otherwise; the saving is per-forward the same
+    # as DPO's logits_chunk). Caveat: in bf16 on TPU the stats and update
+    # compilations of the rematerialized scan can round differently, so the
+    # first inner update's ratio is ~1 +/- bf16 eps instead of exactly 1
+    # (the dense path happens to compile bit-identically); the clipped
+    # objective is insensitive to this, and the CPU parity test bounds the
+    # deviation at 2e-5 in f32.
+    logits_chunk: int = 0
 
 
 def masked_mean(x, mask, axis=None):
@@ -82,42 +92,53 @@ def _token_logprobs(logits, ids):
     return jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
 
 
-def _forward_with_values(
-    model_cfg, params, v_head, batch, ctx, value_ctx=None
+def _forward_logps_and_values(
+    model_cfg, ppo_cfg, params, v_head, batch, ctx, value_ctx=None
 ):
-    """Policy logits + values. With a separate value-adapter set (the
-    reference's use_value_adapter, base/model.py:72-100 + ppo.py:151-170),
-    values come from a second trunk pass under `value_ctx`; otherwise the
-    value head rides the policy trunk."""
-    (logits, hidden), _ = vlm_forward(
-        model_cfg,
-        params,
-        input_ids=batch["input_ids"],
-        pixel_values=batch.get("pixel_values"),
-        image_positions=batch.get("image_positions"),
-        pad_mask=batch["pad_mask"],
-        ctx=ctx,
-        return_logits=True,
-        return_hidden=True,
-    )
-    if value_ctx is not None:
-        (_, hidden), _ = vlm_forward(
+    """Per-token logps (B, L-1) + values (B, L). With a separate
+    value-adapter set (the reference's use_value_adapter,
+    base/model.py:72-100 + ppo.py:151-170), values come from a second trunk
+    pass under `value_ctx`; otherwise the value head rides the policy
+    trunk. With ppo_cfg.logits_chunk the lm_head applies per S-chunk and
+    (B, L, V) logits never materialize."""
+
+    def trunk(c, want_logits):
+        return vlm_forward(
             model_cfg,
             params,
             input_ids=batch["input_ids"],
             pixel_values=batch.get("pixel_values"),
             image_positions=batch.get("image_positions"),
             pad_mask=batch["pad_mask"],
-            ctx=value_ctx,
-            return_logits=True,
+            ctx=c,
+            return_logits=want_logits,
             return_hidden=True,
+        )[0]
+
+    if ppo_cfg.logits_chunk:
+        from vlrlhf_tpu.models.vlm import lm_head_fn
+        from vlrlhf_tpu.train.losses import chunked_token_logps
+
+        hidden = trunk(ctx, want_logits=False)
+        logprobs = chunked_token_logps(
+            hidden,
+            batch["input_ids"],
+            lm_head_fn(model_cfg, params, ctx),
+            chunk=ppo_cfg.logits_chunk,
         )
+        if value_ctx is not None:
+            hidden = trunk(value_ctx, want_logits=False)
+    else:
+        logits, hidden = trunk(ctx, want_logits=True)
+        logprobs = _token_logprobs(logits, batch["input_ids"])
+        if value_ctx is not None:
+            _, hidden = trunk(value_ctx, want_logits=True)
     values = (
         hidden.astype(jnp.float32) @ v_head["kernel"].astype(jnp.float32)
     )[..., 0]
     if "bias" in v_head:
         values = values + v_head["bias"][0]
-    return logits, values
+    return logprobs, values
 
 
 def compute_rollout_stats(
@@ -135,21 +156,39 @@ def compute_rollout_stats(
         value_ctx = Ctx(
             adapters=trainable["value_adapters"], lora_scale=ppo_cfg.lora_scale
         )
-    logits, values = _forward_with_values(
-        model_cfg, params, trainable["v_head"], batch, ctx, value_ctx
-    )
-    ref_logits, _ = vlm_forward(
-        model_cfg,
-        params,
-        input_ids=batch["input_ids"],
-        pixel_values=batch.get("pixel_values"),
-        image_positions=batch.get("image_positions"),
-        pad_mask=batch["pad_mask"],
-        ctx=Ctx(),
+    logprobs, values = _forward_logps_and_values(
+        model_cfg, ppo_cfg, params, trainable["v_head"], batch, ctx, value_ctx
     )
     ids = batch["input_ids"]
-    logprobs = _token_logprobs(logits, ids)
-    ref_logprobs = _token_logprobs(ref_logits, ids)
+    if ppo_cfg.logits_chunk:
+        from vlrlhf_tpu.models.vlm import lm_head_fn
+        from vlrlhf_tpu.train.losses import chunked_token_logps
+
+        ref_hidden, _ = vlm_forward(
+            model_cfg,
+            params,
+            input_ids=ids,
+            pixel_values=batch.get("pixel_values"),
+            image_positions=batch.get("image_positions"),
+            pad_mask=batch["pad_mask"],
+            ctx=Ctx(),
+            return_logits=False,
+        )
+        ref_logprobs = chunked_token_logps(
+            ref_hidden, ids, lm_head_fn(model_cfg, params, Ctx()),
+            chunk=ppo_cfg.logits_chunk,
+        )
+    else:
+        ref_logits, _ = vlm_forward(
+            model_cfg,
+            params,
+            input_ids=ids,
+            pixel_values=batch.get("pixel_values"),
+            image_positions=batch.get("image_positions"),
+            pad_mask=batch["pad_mask"],
+            ctx=Ctx(),
+        )
+        ref_logprobs = _token_logprobs(ref_logits, ids)
     mask = batch["response_mask"][:, 1:].astype(jnp.float32)
     values = values[:, :-1] * mask
 
@@ -217,10 +256,10 @@ def ppo_update_fn(
                 adapters=trainable["value_adapters"],
                 lora_scale=ppo_cfg.lora_scale,
             )
-        logits, values = _forward_with_values(
-            model_cfg, base_params, trainable["v_head"], batch, ctx, value_ctx
+        new_logprobs, values = _forward_logps_and_values(
+            model_cfg, ppo_cfg, base_params, trainable["v_head"], batch, ctx,
+            value_ctx,
         )
-        new_logprobs = _token_logprobs(logits, batch["input_ids"])
         mask = stats.response_mask
         values = values[:, :-1] * mask
 
