@@ -75,7 +75,8 @@ def test_parse_score_grid():
     assert parse_score("0") == 0.0
     assert parse_score("Correctness: 0.5 because...") == 0.5
     assert parse_score(".7") == 0.7
-    assert parse_score("0.85 maybe") == 0.8  # snapped to the 0.1 grid
+    # raw float kept (official MM-Vet grader averages unsnapped scores)
+    assert parse_score("0.85 maybe") == 0.85
     assert parse_score("no idea") is None
 
 

@@ -66,8 +66,11 @@ _SCORE_RE = None
 
 
 def parse_score(text: str):
-    """First 0-1 float in the judge's output, snapped to the 0.1 grid the
-    MM-Vet rubric uses; None if unparseable."""
+    """First 0-1 float in the judge's output, clipped to [0, 1]; None if
+    unparseable. The raw float is kept (no snapping to the 0.1 grid): the
+    official MM-Vet grader averages whatever the judge emits and lets the
+    rubric prompt's 0.1 steps do the quantizing — snapping here would shift
+    e.g. a judged 0.85 by 0.05 per row vs the reference protocol."""
     import re
 
     global _SCORE_RE
@@ -76,8 +79,7 @@ def parse_score(text: str):
     m = _SCORE_RE.search(text)
     if not m:
         return None
-    val = min(max(float(m.group(1)), 0.0), 1.0)
-    return round(val * 10) / 10
+    return min(max(float(m.group(1)), 0.0), 1.0)
 
 
 class EngineJudge:

@@ -76,9 +76,10 @@ def chunked_logps(
     Pallas matmul here would just re-implement what the MXU path already
     does).
 
-    Returns (logps (B,), logits_sum (B,)) — logits_sum is the f32 sum of all
-    logits over real (unpadded) positions, so callers can reproduce the
-    reference's `logits/chosen` mean metric without the full tensor.
+    Returns (logps (B,), logits_sum (B,)) — logits_sum is the f32 sum of
+    logits over ALL S positions (only chunk-padding beyond S is excluded,
+    right-padded batch positions are included), matching the dense path's
+    logits.mean(axis=(1,2)) -> the reference's `logits/chosen` mean metric.
     """
     b, s, h = hidden.shape
     # Shift: logits at t predict labels at t+1 (same as batch_logps).

@@ -291,6 +291,11 @@ def ppo_update_fn(
                 mask,
             ),
             "ppo/ratio_mean": masked_mean(ratio, mask),
+            # On the first inner epoch this is 0 in exact arithmetic; with
+            # logits_chunk the stats/update compilations can round
+            # differently in bf16, so watch this stays within bf16 eps
+            # (~1e-2) at epoch 0 — larger drift means a real logps mismatch.
+            "ppo/ratio_max_abs_dev": jnp.max(jnp.abs(ratio - 1.0) * mask),
         }
         return loss, metrics
 
