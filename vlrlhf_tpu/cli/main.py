@@ -169,6 +169,7 @@ def _load_bundle(args):
 def _load_rows(args, with_pairs=True):
     if args.synthetic:
         return _synthetic_rows(args.synthetic, with_pairs)
+    from vlrlhf_tpu.core.dist import main_process_first
     from vlrlhf_tpu.data.datasets import DATASET_MAP
 
     builder = DATASET_MAP[args.dataset_name]
@@ -179,10 +180,61 @@ def _load_rows(args, with_pairs=True):
         kwargs["image_root"] = args.image_root
     if args.dataset_name == "vlfeedback_paired":
         kwargs["score_margin"] = args.score_margin
-    rows = builder(**kwargs)
+    # Rank 0 builds any on-disk dataset cache first; other processes then hit
+    # the warm cache (the reference's local_main_process_first,
+    # utils/data.py:74,96,112,137).
+    with main_process_first("dataset_cache"):
+        rows = builder(**kwargs)
     if args.data_ratio < 1.0:
         rows = rows[: int(len(rows) * args.data_ratio)]
     return rows
+
+
+def _mp_data_kwargs(args, batch_sharding, ccfg, cfg):
+    """Multi-process dataloading wiring: per-process slice of each global
+    batch (batch_iterator kwargs) + STATIC collator shapes, since every
+    process must collate identical array shapes for
+    jax.make_array_from_process_local_data. Single-process: no-op.
+
+    per_device_train_batch_size keeps the reference's meaning (per-process;
+    global = per-process x n_processes, accelerate zero2.yaml:6-8)."""
+    if jax.process_count() == 1:
+        return {}
+    from vlrlhf_tpu.core.dist import batch_process_span
+    from vlrlhf_tpu.data.collators import _round_up
+
+    if callable(batch_sharding):  # per-leaf (sp): probe with a (B, S) leaf
+        probe = batch_sharding("input_ids", np.zeros((1, 1), np.int32))
+    else:
+        probe = batch_sharding
+    lo_f, hi_f = batch_process_span(probe)
+    local_bs = args.per_device_train_batch_size
+    g = local_bs / (hi_f - lo_f)  # Fraction
+    if g.denominator != 1:
+        raise ValueError(
+            f"batch {local_bs} not divisible into process span {hi_f - lo_f}"
+        )
+    global_bs = int(g)
+    lo = int(global_bs * lo_f)
+    extra = ccfg.max_images * cfg.num_image_tokens
+    if ccfg.anyres:
+        from vlrlhf_tpu.models.anyres import (
+            DEFAULT_GRID_PINPOINTS,
+            anyres_max_dims,
+        )
+
+        mt, mk = anyres_max_dims(
+            ccfg.grid_pinpoints or DEFAULT_GRID_PINPOINTS,
+            ccfg.image_size, ccfg.tile_grid,
+        )
+        ccfg.anyres_min_tiles, ccfg.anyres_min_tokens = mt, mk
+        extra = mk
+    ccfg.pad_to = _round_up(args.max_length + extra, ccfg.bucket_multiple)
+    ccfg.qformer_pad_to = 512  # the reference's clamp (InstructBlip :305-322)
+    return {
+        "global_batch_size": global_bs,
+        "process_slice": (lo, lo + local_bs),
+    }
 
 
 def _setup_training(args, cfg, params, family):
@@ -242,7 +294,20 @@ def _setup_training(args, cfg, params, family):
         max_grad_norm=args.max_grad_norm,
         grad_accum_steps=args.gradient_accumulation_steps,
     )
-    batch_sharding = NamedSharding(mesh, batch_spec())
+    if getattr(args, "sequence_parallel_axis", ""):
+        # Per-leaf specs: the sp axis shards the sequence, not the batch —
+        # a uniform batch_spec() here makes XLA replicate every (B, S) input
+        # at the ring-attention shard_map boundary (MULTICHIP_r02 warning).
+        from vlrlhf_tpu.core.partitioning import sp_batch_spec
+
+        ax = args.sequence_parallel_axis
+
+        def batch_sharding(k, v, _mesh=mesh, _ax=ax):
+            return NamedSharding(
+                _mesh, sp_batch_spec(k, getattr(v, "ndim", 1), _ax)
+            )
+    else:
+        batch_sharding = NamedSharding(mesh, batch_spec())
     return mesh, rules, params, lcfg, adapters, ocfg, batch_sharding
 
 
@@ -344,6 +409,7 @@ def cmd_dpo(args):
         grid_pinpoints=cfg.grid_pinpoints,
         tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
     )
+    mp_kwargs = _mp_data_kwargs(args, batch_sharding, ccfg, cfg)
     collator = DPOCollator(processor, ccfg)
     if args.synthetic:
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
@@ -358,6 +424,8 @@ def cmd_dpo(args):
         rows = precompute_ref_logps(
             cfg, dcfg, params, rows, processor.tokenize_row_dpo, collator,
             batch_size=args.per_device_train_batch_size,
+            batch_sharding=batch_sharding if jax.process_count() > 1 else None,
+            **mp_kwargs,
         )
 
         def tokenize_fn(r, _inner=processor.tokenize_row_dpo):
@@ -369,6 +437,7 @@ def cmd_dpo(args):
     batches = prefetch_iterator(batch_iterator(
         rows, tokenize_fn, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
+        **mp_kwargs,
     ))
     run_name = args.run_name or "dpo"
     from vlrlhf_tpu.train.flops import dpo_flops_per_token, vision_flops_per_image
@@ -470,6 +539,7 @@ def cmd_dpo(args):
         max_steps=args.max_steps, batch_sharding=batch_sharding,
         start_step=start_step,
         on_step=on_step,
+        concat_pairs=True,
     )
     ckpt.wait()
     _finish(args, state, params, lcfg, processor, cfg, family)
@@ -509,6 +579,7 @@ def cmd_sft(args):
         grid_pinpoints=cfg.grid_pinpoints,
         tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
     )
+    mp_kwargs = _mp_data_kwargs(args, batch_sharding, ccfg, cfg)
     collator = SFTCollator(processor, ccfg)
     if args.synthetic:
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
@@ -517,6 +588,7 @@ def cmd_sft(args):
     batches = prefetch_iterator(batch_iterator(
         rows, processor.tokenize_row_sft, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
+        **mp_kwargs,
     ))
     from vlrlhf_tpu.train.flops import sft_flops_per_token, vision_flops_per_image
 
@@ -577,6 +649,7 @@ def cmd_rm(args):
         grid_pinpoints=cfg.grid_pinpoints,
         tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
     )
+    mp_kwargs = _mp_data_kwargs(args, batch_sharding, ccfg, cfg)
     collator = RMCollator(processor, ccfg)
     if args.synthetic:
         collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
@@ -585,6 +658,7 @@ def cmd_rm(args):
     batches = prefetch_iterator(batch_iterator(
         rows, processor.tokenize_row_dpo, collator,
         args.per_device_train_batch_size, args.num_train_epochs, args.seed,
+        **mp_kwargs,
     ))
     from vlrlhf_tpu.train.flops import rm_flops_per_token, vision_flops_per_image
 
@@ -602,6 +676,7 @@ def cmd_rm(args):
         save_steps=args.save_steps, logging_steps=args.logging_steps,
         max_steps=args.max_steps, batch_sharding=batch_sharding,
         start_step=start_step,
+        concat_pairs=True,
     )
     ckpt.wait()
     _finish(args, state, params, lcfg, processor, cfg, family)

@@ -97,6 +97,114 @@ def gather_objects(objs: list) -> list:
     return out
 
 
+def batch_process_span(sharding) -> tuple:
+    """Fraction (lo, hi) of the batch dimension covered by THIS process's
+    addressable devices under `sharding`, as a pair of Fractions.
+
+    Drives per-process dataloading: with the batch dim sharded over
+    ('data','fsdp') and replicated over 'model', processes holding replica
+    devices get the same span (and must feed identical rows — the
+    make_array_from_process_local_data replica contract)."""
+    from fractions import Fraction
+
+    probe = sharding.mesh.size
+    idx_map = sharding.addressable_devices_indices_map((probe,))
+    starts, stops = [], []
+    for sl in idx_map.values():
+        s = sl[0]
+        starts.append(s.start or 0)
+        stops.append(probe if s.stop is None else s.stop)
+    return Fraction(min(starts), probe), Fraction(max(stops), probe)
+
+
+_CONCAT_CACHE: dict = {}
+
+
+def _sharded_concat(a, b, sharding):
+    """Device-side concat of two global arrays along dim 0, output resharded
+    to `sharding` (ICI traffic; tiny next to the model forward)."""
+    import jax.numpy as jnp
+
+    fn = _CONCAT_CACHE.get(sharding)
+    if fn is None:
+        fn = jax.jit(
+            lambda x, y: jnp.concatenate([x, y], axis=0),
+            out_shardings=sharding,
+        )
+        _CONCAT_CACHE[sharding] = fn
+    return fn(a, b)
+
+
+def make_global_batch(batch: dict, sharding, concat_pairs: bool = False) -> dict:
+    """Per-process host batch slices -> global device arrays.
+
+    Single-process: plain device_put (round-2 behavior). Multi-process: each
+    process passes only its LOCAL rows and
+    jax.make_array_from_process_local_data assembles the global batch across
+    non-addressable devices — the TPU equivalent of the reference's per-rank
+    accelerate dataloader shards (accelerate_config/zero2.yaml:6-8).
+
+    concat_pairs: DPO/RM batches are [chosen; rejected] concatenated
+    host-side. Naive per-process assembly would block-interleave
+    [c0;r0;c1;r1] and break the step's first-half/second-half split, so
+    2B-row leaves are assembled as two global halves (process order) and
+    concatenated on device into [all chosen; all rejected]; B-row leaves
+    (pixel_values, ref logps, qformer ids) assemble directly, keeping
+    chosen[i] <-> pixel[i] <-> rejected[i] row pairing.
+
+    `sharding` is a NamedSharding, or a callable (key, leaf) -> NamedSharding
+    for per-leaf layouts (sequence-parallel steps shard (B, S) leaves'
+    sequence dim — core/partitioning.sp_batch_spec).
+    """
+    import numpy as np
+
+    def leaf_sharding(k, v):
+        return sharding(k, v) if callable(sharding) else sharding
+
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, leaf_sharding(k, v)) for k, v in batch.items()
+        }
+    local_pairs = (
+        batch["input_ids"].shape[0] // 2 if concat_pairs else None
+    )
+
+    def put(k, x):
+        x = np.asarray(x)
+        sh = leaf_sharding(k, x)
+        if concat_pairs and x.shape[0] == 2 * local_pairs:
+            c = jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x[:local_pairs])
+            )
+            r = jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x[local_pairs:])
+            )
+            return _sharded_concat(c, r, sh)
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return {k: put(k, v) for k, v in batch.items()}
+
+
+def replicate_1d_to_host(x):
+    """Fetch a small batch-dim-sharded global array (e.g. per-row logps) to
+    every host as numpy, regardless of which process holds which shard."""
+    import numpy as np
+
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    parts = []
+    for s in x.addressable_shards:
+        sl = s.index[0]
+        parts.append(
+            [int(sl.start or 0), np.asarray(s.data, np.float64).tolist()]
+        )
+    out = np.zeros(x.shape, np.float64)
+    for start, vals in gather_objects(parts):
+        arr = np.asarray(vals)
+        out[start : start + arr.shape[0]] = arr
+    return out
+
+
 def any_process_failed(local_fail: bool) -> bool:
     """Skip-batch consensus: True iff ANY process hit a failure this step —
     every rank then skips the same batch, keeping collectives aligned (the

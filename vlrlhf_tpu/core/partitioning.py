@@ -132,5 +132,22 @@ def batch_spec() -> P:
     return P(("data", "fsdp"))
 
 
+# (B, S) token-stream leaves whose SEQUENCE dim is sharded under sequence
+# parallelism; everything else keeps only the batch dim on 'data'.
+_SP_SEQ_LEAVES = frozenset({"input_ids", "labels", "pad_mask", "loss_mask"})
+
+
+def sp_batch_spec(key: str, ndim: int, axis: str = "fsdp") -> P:
+    """Per-leaf batch PartitionSpec for sequence-parallel steps: the sp axis
+    shards the SEQUENCE of (B, S) token leaves, so the batch dim rides only
+    'data'. Feeding sp steps the plain batch_spec() makes XLA involuntarily
+    rematerialize (replicate) every (B, S) input at the shard_map boundary —
+    the MULTICHIP_r02 warning this fixes."""
+    if key in _SP_SEQ_LEAVES and ndim == 2:
+        return P("data", axis)
+    entries = ["data"] + [None] * (max(ndim, 1) - 1)
+    return P(*entries)
+
+
 def count_params(tree: PyTree) -> int:
     return sum(getattr(x, "size", 0) for x in jax.tree.leaves(tree))

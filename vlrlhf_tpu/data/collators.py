@@ -68,6 +68,13 @@ class CollatorConfig:
     anyres: bool = False
     grid_pinpoints: tuple = ()
     tile_grid: int = 24
+    # Static shapes for multi-process training: every process must collate
+    # identical array shapes for jax.make_array_from_process_local_data, so
+    # bucketing by batch max (process-dependent) is replaced by fixed pads.
+    pad_to: int = 0  # 0 = bucket by batch max (single-process)
+    qformer_pad_to: int = 0
+    anyres_min_tiles: int = 0  # lower bounds on the anyres batch dims;
+    anyres_min_tokens: int = 0  # set to the grid max for multi-process
 
 
 class _CollatorBase:
@@ -147,8 +154,14 @@ class _CollatorBase:
             )
             plans.append(plan)
             tiles.append(load_anyres_tiles(path, plan, self.cfg.image_size))
-        max_tiles = max((p["n_tiles"] for p in plans if p), default=1)
-        max_tok = max((p["n_tokens"] for p in plans if p), default=1)
+        max_tiles = max(
+            max((p["n_tiles"] for p in plans if p), default=1),
+            self.cfg.anyres_min_tiles or 1,
+        )
+        max_tok = max(
+            max((p["n_tokens"] for p in plans if p), default=1),
+            self.cfg.anyres_min_tokens or 1,
+        )
         s = self.cfg.image_size
         pixel = np.zeros((len(img_paths), max_tiles, s, s, 3), np.uint8)
         gather = np.full((len(img_paths), max_tok), PAD_IDX, np.int32)
@@ -167,7 +180,7 @@ class _CollatorBase:
         if not rows or "qformer_input_ids" not in rows[0]:
             return {}
         ids = [np.asarray(r["qformer_input_ids"]) for r in rows]
-        L = max(len(x) for x in ids)
+        L = self.cfg.qformer_pad_to or max(len(x) for x in ids)
         out = np.zeros((len(ids), L), np.int32)
         mask = np.zeros((len(ids), L), bool)
         for i, x in enumerate(ids):
@@ -216,7 +229,7 @@ class DPOCollator(_CollatorBase):
             rejected.append((r_ids, r_lab, r_pos))
 
         max_len = max(len(x[0]) for x in chosen + rejected)
-        L = _round_up(max_len, cfg.bucket_multiple)
+        L = cfg.pad_to or _round_up(max_len, cfg.bucket_multiple)
         all_rows = chosen + rejected  # [chosen...; rejected...]
         ids = self._pad_rows([x[0] for x in all_rows], cfg.pad_token_id, L)
         labels = self._pad_rows(
@@ -282,7 +295,9 @@ class SFTCollator(_CollatorBase):
             self.processor.expand_image_tokens(r["input_ids"], r["labels"], cnt)
             for r, cnt in zip(rows, counts)
         ]
-        L = _round_up(max(len(x[0]) for x in expanded), cfg.bucket_multiple)
+        L = cfg.pad_to or _round_up(
+            max(len(x[0]) for x in expanded), cfg.bucket_multiple
+        )
         ids = self._pad_rows([x[0] for x in expanded], cfg.pad_token_id, L)
         labels = self._pad_rows([x[1] for x in expanded], LABEL_PAD, L, np.int64)
         pad_mask = self._pad_rows(
@@ -339,7 +354,9 @@ class GenerationCollator(_CollatorBase):
             self.processor.expand_image_tokens(r["input_ids"], None, cnt)
             for r, cnt in zip(rows, counts)
         ]
-        L = _round_up(max(len(x[0]) for x in expanded), cfg.bucket_multiple)
+        L = cfg.pad_to or _round_up(
+            max(len(x[0]) for x in expanded), cfg.bucket_multiple
+        )
         b = len(rows)
         ids = np.full((b, L), cfg.pad_token_id, np.int32)
         pad_mask = np.zeros((b, L), bool)

@@ -36,6 +36,24 @@ DEFAULT_GRID_PINPOINTS = (
 )
 
 
+def anyres_max_dims(
+    grid_pinpoints=DEFAULT_GRID_PINPOINTS,
+    tile_size: int = 336,
+    tile_grid: int = 24,
+) -> tuple[int, int]:
+    """Static worst-case (n_tiles, n_tokens) over the pinpoint grid — the
+    fixed collation shapes for multi-process training and honest anyres
+    benching (unpad can only shrink below this bound)."""
+    per_tile = tile_grid * tile_grid
+    max_tiles, max_tok = 1, per_tile
+    for h, w in grid_pinpoints:
+        th, tw = h // tile_size, w // tile_size
+        max_tiles = max(max_tiles, 1 + th * tw)
+        gh, gw = th * tile_grid, tw * tile_grid
+        max_tok = max(max_tok, per_tile + gh * (gw + 1))
+    return max_tiles, max_tok
+
+
 def select_best_resolution(
     orig_size: tuple[int, int],  # (height, width)
     grid_pinpoints: Sequence[tuple[int, int]],

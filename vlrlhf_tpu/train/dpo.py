@@ -291,25 +291,46 @@ def precompute_ref_logps(
     tokenize_fn,
     collator,
     batch_size: int = 8,
+    batch_sharding=None,
+    global_batch_size: int = 0,
+    process_slice=None,
 ) -> list:
     """One adapter-off pass over the dataset; rows gain ref_*_logp floats.
 
     Training steps then skip the ref forward entirely (the collator ships the
     cached values) — a ~20%% step-time saving that compounds per epoch.
+
+    Multi-process (batch_sharding set): every process walks the SAME global
+    batch schedule, collates only its process_slice, the global batch is
+    assembled across hosts (core/dist.make_global_batch) and each process
+    reads back the full (g,) logps — so all processes hold identical
+    annotated rows for the training iterator's global shuffling.
     """
     import numpy as np
 
     fn = make_ref_logps_fn(model_cfg, dpo_cfg)
+    g = global_batch_size or batch_size
+    lo, hi = process_slice if process_slice is not None else (0, batch_size)
+    from vlrlhf_tpu.core.dist import make_global_batch, replicate_1d_to_host
+
     out = []
-    for start in range(0, len(rows), batch_size):
-        chunk = [tokenize_fn(r) for r in rows[start : start + batch_size]]
+    n = len(rows)
+    for start in range(0, n, g):
+        idx = list(range(start, min(start + g, n)))
+        real = len(idx)
+        while len(idx) < g:  # pad the tail by repeating the last row so all
+            idx.append(idx[-1])  # processes contribute full slices (extras
+        local_idx = idx[lo:hi]  # dropped below); also keeps shapes static.
+        chunk = [tokenize_fn(rows[i]) for i in local_idx]
         batch = collator(chunk)
         batch = {k: v for k, v in batch.items() if k != "loss_mask"}
+        if batch_sharding is not None:
+            batch = make_global_batch(batch, batch_sharding, concat_pairs=True)
         c, r = fn(params, batch)
-        for row, cl, rl in zip(rows[start : start + batch_size],
-                               np.asarray(c), np.asarray(r)):
-            out.append(dict(row, ref_chosen_logp=float(cl),
-                            ref_rejected_logp=float(rl)))
+        c, r = replicate_1d_to_host(c), replicate_1d_to_host(r)
+        for k in range(real):
+            out.append(dict(rows[idx[k]], ref_chosen_logp=float(c[k]),
+                            ref_rejected_logp=float(r[k])))
     return out
 
 

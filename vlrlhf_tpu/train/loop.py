@@ -41,24 +41,42 @@ def batch_iterator(
     seed: int = 42,
     shuffle: bool = True,
     drop_last: bool = True,
+    global_batch_size: int = 0,
+    process_slice: Optional[tuple] = None,
 ) -> Iterable[dict]:
     """Tokenize lazily per batch (the reference pre-tokenizes the whole
-    dataset with dataset.map; lazy keeps startup instant and memory flat)."""
+    dataset with dataset.map; lazy keeps startup instant and memory flat).
+
+    Multi-process: every process draws the SAME permutation (same seed) over
+    the full row list, forms global batches of `global_batch_size` indices,
+    and collates only its `process_slice` = (lo, hi) of each — so the union
+    of local batches is exactly the single-process global batch (the
+    reference's per-rank dataloader shards, accelerate zero2.yaml:6-8, but
+    with global-batch semantics identical to one process)."""
     n = len(rows)
-    epoch = 0
+    g = global_batch_size or batch_size
+    lo, hi = process_slice if process_slice is not None else (0, batch_size)
+    assert hi - lo == batch_size, (
+        f"process_slice {process_slice} must cover batch_size {batch_size}"
+    )
+    if g != batch_size and not drop_last:
+        raise ValueError(
+            "multi-process batching requires drop_last: a short final global "
+            "batch cannot be split into equal per-process shards"
+        )
     emitted_epochs = 0.0
     rng = np.random.default_rng(seed)
     while emitted_epochs < num_epochs:
         order = rng.permutation(n) if shuffle else np.arange(n)
-        for start in range(0, n, batch_size):
-            idx = order[start : start + batch_size]
-            if len(idx) < batch_size and drop_last:
+        for start in range(0, n, g):
+            idx = order[start : start + g]
+            if len(idx) < g and drop_last:
                 continue
-            yield collate_fn([tokenize_fn(rows[int(i)]) for i in idx])
-            emitted_epochs += batch_size / n
+            local = idx[lo:hi]
+            yield collate_fn([tokenize_fn(rows[int(i)]) for i in local])
+            emitted_epochs += g / n
             if emitted_epochs >= num_epochs:
                 return
-        epoch += 1
 
 
 def run_training(
@@ -74,16 +92,23 @@ def run_training(
     batch_sharding=None,
     start_step: int = 0,
     on_step: Optional[Callable] = None,  # (step_idx, metrics, state)
+    concat_pairs: bool = False,
 ) -> PyTree:
-    """Drive the jitted step over batches; returns the final state."""
+    """Drive the jitted step over batches; returns the final state.
+
+    concat_pairs: set for DPO/RM ([chosen; rejected] concat batches) so
+    multi-process assembly preserves the first-half/second-half layout
+    (core/dist.make_global_batch)."""
+    from vlrlhf_tpu.core.dist import make_global_batch
+
     step_idx = start_step
     pending_metrics = None
     interval_tokens = 0
     interval_images = 0
     for batch in batches:
         if batch_sharding is not None:
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, batch_sharding), batch
+            batch = make_global_batch(
+                batch, batch_sharding, concat_pairs=concat_pairs
             )
         state, metrics = step_fn(state, base_params, batch)
         step_idx += 1

@@ -34,9 +34,16 @@ class MetricsLogger:
         flops_per_image: Optional[float] = None,
         n_chips: int = 1,
     ):
+        from vlrlhf_tpu.core.dist import is_main_process
+
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, f"{run_name}_metrics.jsonl")
-        self._file = open(self.path, "a")
+        # Only rank 0 writes sinks (the reference logs through the main
+        # process's HF Trainer / wandb); other ranks still compute host
+        # metrics so collective-fetching stays aligned.
+        self._file = open(self.path if is_main_process() else os.devnull, "a")
+        if not is_main_process():
+            report_to = tuple(r for r in report_to if r != "wandb")
         self.flops_per_step = flops_per_step
         self.tokens_per_step = tokens_per_step
         # Per-token accounting (bucketed batches have varying seq): the loop
