@@ -189,15 +189,26 @@ def load_model_bundle(
     max_length: int = 1024,
     max_prompt_length: int = 512,
 ):
-    """Full production load: config + weights + tokenizer + processor."""
-    from vlrlhf_tpu.utils.hf_port import PORTERS, cast_tree, load_hf_state_dict
+    """Full production load: config + weights + tokenizer + processor.
+
+    Streaming port: tensors are read one at a time from the safetensors
+    shards (mmap), transformed on host, cast to the target dtype, and put to
+    device — host RSS stays ~one tensor, device never holds a full-precision
+    twin (utils/hf_port.LazyStateDict + port_dtype)."""
+    from vlrlhf_tpu.utils.hf_port import (
+        PORTERS,
+        cast_tree,
+        open_hf_state_dict,
+        port_dtype,
+    )
 
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
     family, cfg = config_from_hf(hf, dtype)
-    sd = load_hf_state_dict(path)
-    params = PORTERS[family.name](sd, cfg)
-    params = cast_tree(params, dtype)
+    sd = open_hf_state_dict(path)
+    with port_dtype(dtype):
+        params = PORTERS[family.name](sd, cfg)
+    params = cast_tree(params, dtype)  # no-op pass for already-cast leaves
     tokenizer = HFTokenizer.from_pretrained(path, trust_remote_code=True)
     overrides: dict = dict(
         max_length=max_length, max_prompt_length=max_prompt_length
@@ -215,7 +226,8 @@ def load_model_bundle(
         # vlm_forward threads them as Ctx.base_adapters.
         from vlrlhf_tpu.utils.hf_port import port_xc2_plora
 
-        plora = port_xc2_plora(sd, cfg)
+        with port_dtype(dtype):
+            plora = port_xc2_plora(sd, cfg)
         if plora:
             params["plora"] = cast_tree(plora, dtype)
         # the reference ADDS <ImageHere> as a special token at load

@@ -378,6 +378,9 @@ def lm_prefill_chunk(
     cache: dict,  # {"k": (L, B, nkv, Sc, hd), ...} — DECODE layout
     ctx: Optional[Ctx] = None,
     pending: Optional[dict] = None,  # deferred kv from a prior decode
+    input_embeds: Optional[jax.Array] = None,  # (B, C, D): pre-merged chunk
+    # embeddings (continuous batching merges image features into prompt
+    # chunks before the LM sees them; input_ids is then ignored)
 ):
     """Prefill a chunk into a NON-EMPTY cache (multi-turn serving — the
     reference's sglang role has this; round 1's engine assumed an empty
@@ -392,7 +395,11 @@ def lm_prefill_chunk(
     sc = cache["k"].shape[3]
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
     positions = lengths[:, None] + jnp.arange(c)[None, :]  # (B, C)
-    x = embed(params["embed_tokens"], input_ids, cfg.dtype)
+    x = (
+        input_embeds.astype(cfg.dtype)
+        if input_embeds is not None
+        else embed(params["embed_tokens"], input_ids, cfg.dtype)
+    )
     cos, sin = rope_frequencies(cfg.rope, positions, seq_len=sc)
     layer_ctx = ctx.sub("layers_scanned")
     ck_all, cv_all = cache["k"], cache["v"]

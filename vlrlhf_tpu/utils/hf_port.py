@@ -25,6 +25,45 @@ PyTree = Any
 StateDict = Mapping[str, np.ndarray]
 
 
+_DEV_CAST = None  # set by port_dtype(); floating tensors cast host-side
+_DEV_HOST = False  # inside _stack: keep tensors numpy until stacked
+
+
+def _dev(x):
+    """Host tensor -> device array. Under port_dtype(...) floating tensors
+    are cast host-side first, so only target-width bytes cross the host->HBM
+    link and no full-precision twin ever lives on device (a 7B f32 port +
+    post-hoc cast_tree would need 28+14 GiB of HBM; streaming bf16 needs
+    14). In _host_tensors scope the numpy array is returned as-is: large
+    numpy buffers are mmap'd by glibc and RETURNED TO THE OS on free,
+    whereas transient device buffers can linger in the client allocator —
+    the layer stacker exploits this to keep the port's peak anonymous RSS
+    at ~one stacked leaf."""
+    x = np.asarray(x)
+    if _DEV_CAST is not None and np.issubdtype(x.dtype, np.floating):
+        x = x.astype(_DEV_CAST)
+    if _DEV_HOST:
+        return x
+    return jnp.asarray(x)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def port_dtype(dtype):
+    """All floating tensors ported inside this context are cast to `dtype`
+    before device transfer (transforms still run in the checkpoint's source
+    precision on host — numerically identical to port-then-cast_tree)."""
+    global _DEV_CAST
+    prev = _DEV_CAST
+    _DEV_CAST = dtype
+    try:
+        yield
+    finally:
+        _DEV_CAST = prev
+
+
 def _t(w) -> np.ndarray:
     return np.asarray(w).T  # torch Linear (out,in) -> (in,out)
 
@@ -33,24 +72,46 @@ def _conv(w) -> np.ndarray:
     return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
 
 
-def _stack(fn: Callable[[int], dict], n: int) -> dict:
-    import jax
+def _stack_trees(trees: list) -> PyTree:
+    """Stack per-layer trees into leading-layer-axis leaves, POPPING each
+    consumed leaf so per-layer buffers free as each stacked leaf is built —
+    peak extra memory is ONE stacked leaf, not a second copy of the whole
+    decoder (matters at 7B on a 16 GiB chip). numpy leaves (from _stack's
+    host scope) stack on host and device-transfer once."""
+    if isinstance(trees[0], dict):
+        return {
+            k: _stack_trees([t.pop(k) for t in trees])
+            for k in list(trees[0].keys())
+        }
+    if isinstance(trees[0], np.ndarray):
+        out = _dev(np.stack(trees))
+        trees.clear()  # free per-layer host buffers back to the OS now
+        return out
+    return jnp.stack(trees)
 
-    layers = [fn(i) for i in range(n)]
-    return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *layers)
+
+def _stack(fn: Callable[[int], dict], n: int) -> dict:
+    global _DEV_HOST
+    prev = _DEV_HOST
+    _DEV_HOST = True
+    try:
+        layers = [fn(i) for i in range(n)]
+    finally:
+        _DEV_HOST = prev
+    return _stack_trees(layers)
 
 
 def _ln(sd: StateDict, prefix: str) -> dict:
-    out = {"weight": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]))}
+    out = {"weight": _dev(np.asarray(sd[f"{prefix}.weight"]))}
     if f"{prefix}.bias" in sd:
-        out["bias"] = jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))
+        out["bias"] = _dev(np.asarray(sd[f"{prefix}.bias"]))
     return out
 
 
 def _linear(sd: StateDict, prefix: str) -> dict:
-    out = {"kernel": jnp.asarray(_t(sd[f"{prefix}.weight"]))}
+    out = {"kernel": _dev(_t(sd[f"{prefix}.weight"]))}
     if f"{prefix}.bias" in sd:
-        out["bias"] = jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))
+        out["bias"] = _dev(np.asarray(sd[f"{prefix}.bias"]))
     return out
 
 
@@ -82,7 +143,7 @@ def port_llama_lm(sd: StateDict, n_layers: int, prefix: str = "model") -> PyTree
     head_prefix = prefix.rsplit(".", 1)[0] if prefix.endswith(".model") else prefix
     out = {
         "embed_tokens": {
-            "embedding": jnp.asarray(np.asarray(sd[f"{prefix}.embed_tokens.weight"]))
+            "embedding": _dev(np.asarray(sd[f"{prefix}.embed_tokens.weight"]))
         },
         "layers_scanned": _stack(layer, n_layers),
         "norm": _ln(sd, f"{prefix}.norm"),
@@ -91,7 +152,7 @@ def port_llama_lm(sd: StateDict, n_layers: int, prefix: str = "model") -> PyTree
     if lm_head_key not in sd and "lm_head.weight" in sd:
         lm_head_key = "lm_head.weight"
     if lm_head_key in sd:
-        out["lm_head"] = {"kernel": jnp.asarray(_t(sd[lm_head_key]))}
+        out["lm_head"] = {"kernel": _dev(_t(sd[lm_head_key]))}
     return out
 
 
@@ -110,9 +171,9 @@ def port_qwen_lm(sd: StateDict, n_layers: int, prefix: str = "transformer") -> P
             "input_layernorm": _ln(sd, f"{p}.ln_1"),
             "post_attention_layernorm": _ln(sd, f"{p}.ln_2"),
             "attn": {
-                "wq": {"kernel": jnp.asarray(wq.T), "bias": jnp.asarray(bq)},
-                "wk": {"kernel": jnp.asarray(wk.T), "bias": jnp.asarray(bk)},
-                "wv": {"kernel": jnp.asarray(wv.T), "bias": jnp.asarray(bv)},
+                "wq": {"kernel": _dev(wq.T), "bias": _dev(bq)},
+                "wk": {"kernel": _dev(wk.T), "bias": _dev(bk)},
+                "wv": {"kernel": _dev(wv.T), "bias": _dev(bv)},
                 "wo": _linear(sd, f"{p}.attn.c_proj"),
             },
             "mlp": {
@@ -124,11 +185,11 @@ def port_qwen_lm(sd: StateDict, n_layers: int, prefix: str = "transformer") -> P
 
     return {
         "embed_tokens": {
-            "embedding": jnp.asarray(np.asarray(sd[f"{prefix}.wte.weight"]))
+            "embedding": _dev(np.asarray(sd[f"{prefix}.wte.weight"]))
         },
         "layers_scanned": _stack(layer, n_layers),
         "norm": _ln(sd, f"{prefix}.ln_f"),
-        "lm_head": {"kernel": jnp.asarray(_t(sd["lm_head.weight"]))},
+        "lm_head": {"kernel": _dev(_t(sd["lm_head.weight"]))},
     }
 
 
@@ -156,9 +217,9 @@ def port_internlm2_lm(
             "input_layernorm": _ln(sd, f"{p}.attention_norm"),
             "post_attention_layernorm": _ln(sd, f"{p}.ffn_norm"),
             "attn": {
-                "wq": {"kernel": jnp.asarray(wq.T)},
-                "wk": {"kernel": jnp.asarray(wk.T)},
-                "wv": {"kernel": jnp.asarray(wv.T)},
+                "wq": {"kernel": _dev(wq.T)},
+                "wk": {"kernel": _dev(wk.T)},
+                "wv": {"kernel": _dev(wv.T)},
                 "wo": _linear(sd, f"{p}.attention.wo"),
             },
             "mlp": {
@@ -170,13 +231,13 @@ def port_internlm2_lm(
 
     return {
         "embed_tokens": {
-            "embedding": jnp.asarray(
+            "embedding": _dev(
                 np.asarray(sd[f"{prefix}.tok_embeddings.weight"])
             )
         },
         "layers_scanned": _stack(layer, n_layers),
         "norm": _ln(sd, f"{prefix}.norm"),
-        "lm_head": {"kernel": jnp.asarray(_t(sd["output.weight"]))},
+        "lm_head": {"kernel": _dev(_t(sd["output.weight"]))},
     }
 
 
@@ -206,18 +267,18 @@ def port_clip_vit(sd: StateDict, n_layers: int, prefix: str) -> PyTree:
     emb = f"{prefix}.embeddings"
     out = {
         "patch_embed": {
-            "kernel": jnp.asarray(_conv(sd[f"{emb}.patch_embedding.weight"]))
+            "kernel": _dev(_conv(sd[f"{emb}.patch_embedding.weight"]))
         },
         "pos_embed": {
-            "embedding": jnp.asarray(
+            "embedding": _dev(
                 np.asarray(sd[f"{emb}.position_embedding.weight"])
             )
         },
-        "cls": {"token": jnp.asarray(np.asarray(sd[f"{emb}.class_embedding"]))},
+        "cls": {"token": _dev(np.asarray(sd[f"{emb}.class_embedding"]))},
         "layers_scanned": _stack(layer, n_layers),
     }
     if f"{emb}.patch_embedding.bias" in sd:
-        out["patch_embed"]["bias"] = jnp.asarray(
+        out["patch_embed"]["bias"] = _dev(
             np.asarray(sd[f"{emb}.patch_embedding.bias"])
         )
     if f"{prefix}.pre_layrnorm.weight" in sd:  # HF CLIP's (sic) spelling
@@ -253,9 +314,9 @@ def port_qwen_visual(
             "ln1": _ln(sd, f"{p}.ln_1"),
             "ln2": _ln(sd, f"{p}.ln_2"),
             "attn": {
-                "wq": {"kernel": jnp.asarray(wq.T), "bias": jnp.asarray(bq)},
-                "wk": {"kernel": jnp.asarray(wk.T), "bias": jnp.asarray(bk)},
-                "wv": {"kernel": jnp.asarray(wv.T), "bias": jnp.asarray(bv)},
+                "wq": {"kernel": _dev(wq.T), "bias": _dev(bq)},
+                "wk": {"kernel": _dev(wk.T), "bias": _dev(bk)},
+                "wv": {"kernel": _dev(wv.T), "bias": _dev(bv)},
                 "wo": _linear(sd, f"{p}.attn.out_proj"),
             },
             "mlp": {
@@ -265,9 +326,9 @@ def port_qwen_visual(
         }
 
     vision = {
-        "patch_embed": {"kernel": jnp.asarray(_conv(sd[f"{prefix}.conv1.weight"]))},
+        "patch_embed": {"kernel": _dev(_conv(sd[f"{prefix}.conv1.weight"]))},
         "pos_embed": {
-            "embedding": jnp.asarray(np.asarray(sd[f"{prefix}.positional_embedding"]))
+            "embedding": _dev(np.asarray(sd[f"{prefix}.positional_embedding"]))
         },
         "ln_pre": _ln(sd, f"{prefix}.ln_pre"),
         "layers_scanned": _stack(layer, n_layers),
@@ -278,22 +339,22 @@ def port_qwen_visual(
     wq, wk, wv = np.split(in_w, 3, axis=0)
     bq, bk, bv = np.split(in_b, 3, axis=0)
     resampler = {
-        "query": jnp.asarray(np.asarray(sd[f"{ap}.query"])),
-        "pos_embed": jnp.asarray(np.asarray(sd[f"{ap}.pos_embed"])),
+        "query": _dev(np.asarray(sd[f"{ap}.query"])),
+        "pos_embed": _dev(np.asarray(sd[f"{ap}.pos_embed"])),
         "ln_q": _ln(sd, f"{ap}.ln_q"),
         "ln_kv": _ln(sd, f"{ap}.ln_kv"),
         "kv_proj": _linear(sd, f"{ap}.kv_proj"),
         "attn": {
-            "wq": {"kernel": jnp.asarray(wq.T), "bias": jnp.asarray(bq)},
-            "wk": {"kernel": jnp.asarray(wk.T), "bias": jnp.asarray(bk)},
-            "wv": {"kernel": jnp.asarray(wv.T), "bias": jnp.asarray(bv)},
+            "wq": {"kernel": _dev(wq.T), "bias": _dev(bq)},
+            "wk": {"kernel": _dev(wk.T), "bias": _dev(bk)},
+            "wv": {"kernel": _dev(wv.T), "bias": _dev(bv)},
             "wo": _linear(sd, f"{ap}.attn.out_proj"),
         },
     }
     projector = {
         "resampler": resampler,
         "ln_post": _ln(sd, f"{prefix}.ln_post"),
-        "proj": {"kernel": jnp.asarray(np.asarray(sd[f"{prefix}.proj"]))},
+        "proj": {"kernel": _dev(np.asarray(sd[f"{prefix}.proj"]))},
     }
     return vision, projector
 
@@ -327,7 +388,7 @@ def port_llava(sd: StateDict, cfg: VLMConfig) -> PyTree:
     lm = port_llama_lm(sd, cfg.lm.num_layers, "language_model.model")
     if "lm_head" not in lm:
         lm["lm_head"] = {
-            "kernel": jnp.asarray(_t(sd["language_model.lm_head.weight"]))
+            "kernel": _dev(_t(sd["language_model.lm_head.weight"]))
         }
     out = {
         "vision": port_clip_vit(
@@ -341,7 +402,7 @@ def port_llava(sd: StateDict, cfg: VLMConfig) -> PyTree:
     }
     if "image_newline" in sd:
         out["image_newline"] = {
-            "embedding": jnp.asarray(np.asarray(sd["image_newline"]))
+            "embedding": _dev(np.asarray(sd["image_newline"]))
         }
     return out
 
@@ -394,7 +455,7 @@ def port_xc2_plora(sd: StateDict, cfg: VLMConfig) -> PyTree:
         wqkv_a = sd.get(f"{p}.attention.wqkv.Plora_A.weight")
         if wqkv_a is None:
             return None
-        a = jnp.asarray(_t(wqkv_a))  # (h, r)
+        a = _dev(_t(wqkv_a))  # (h, r)
         b_full = np.asarray(sd[f"{p}.attention.wqkv.Plora_B.weight"])  # (out, r)
         r = b_full.shape[1]
         b = b_full.reshape(nkv, q_per_kv + 2, hd, r)
@@ -402,26 +463,26 @@ def port_xc2_plora(sd: StateDict, cfg: VLMConfig) -> PyTree:
         bk = b[:, q_per_kv].reshape(-1, r).T
         bv = b[:, q_per_kv + 1].reshape(-1, r).T
         out["attn"] = {
-            "wq": {"a": a, "b": jnp.asarray(bq)},
-            "wk": {"a": a, "b": jnp.asarray(bk)},
-            "wv": {"a": a, "b": jnp.asarray(bv)},
+            "wq": {"a": a, "b": _dev(bq)},
+            "wk": {"a": a, "b": _dev(bk)},
+            "wv": {"a": a, "b": _dev(bv)},
             "wo": {
-                "a": jnp.asarray(_t(sd[f"{p}.attention.wo.Plora_A.weight"])),
-                "b": jnp.asarray(_t(sd[f"{p}.attention.wo.Plora_B.weight"])),
+                "a": _dev(_t(sd[f"{p}.attention.wo.Plora_A.weight"])),
+                "b": _dev(_t(sd[f"{p}.attention.wo.Plora_B.weight"])),
             },
         }
         out["mlp"] = {
             "gate": {
-                "a": jnp.asarray(_t(sd[f"{p}.feed_forward.w1.Plora_A.weight"])),
-                "b": jnp.asarray(_t(sd[f"{p}.feed_forward.w1.Plora_B.weight"])),
+                "a": _dev(_t(sd[f"{p}.feed_forward.w1.Plora_A.weight"])),
+                "b": _dev(_t(sd[f"{p}.feed_forward.w1.Plora_B.weight"])),
             },
             "up": {
-                "a": jnp.asarray(_t(sd[f"{p}.feed_forward.w3.Plora_A.weight"])),
-                "b": jnp.asarray(_t(sd[f"{p}.feed_forward.w3.Plora_B.weight"])),
+                "a": _dev(_t(sd[f"{p}.feed_forward.w3.Plora_A.weight"])),
+                "b": _dev(_t(sd[f"{p}.feed_forward.w3.Plora_B.weight"])),
             },
             "down": {
-                "a": jnp.asarray(_t(sd[f"{p}.feed_forward.w2.Plora_A.weight"])),
-                "b": jnp.asarray(_t(sd[f"{p}.feed_forward.w2.Plora_B.weight"])),
+                "a": _dev(_t(sd[f"{p}.feed_forward.w2.Plora_A.weight"])),
+                "b": _dev(_t(sd[f"{p}.feed_forward.w2.Plora_B.weight"])),
             },
         }
         return out
@@ -431,9 +492,7 @@ def port_xc2_plora(sd: StateDict, cfg: VLMConfig) -> PyTree:
         return {}
     import jax
 
-    return {"lm": {"layers_scanned": jax.tree.map(
-        lambda *xs: jnp.stack(xs), *layers
-    )}}
+    return {"lm": {"layers_scanned": _stack_trees(layers)}}
 
 
 def port_instructblip_vit(sd: StateDict, n_layers: int, prefix: str) -> PyTree:
@@ -450,9 +509,9 @@ def port_instructblip_vit(sd: StateDict, n_layers: int, prefix: str) -> PyTree:
             "ln1": _ln(sd, f"{p}.layer_norm1"),
             "ln2": _ln(sd, f"{p}.layer_norm2"),
             "attn": {
-                "wq": {"kernel": jnp.asarray(wq.T), "bias": jnp.asarray(bq)},
-                "wk": {"kernel": jnp.asarray(wk.T), "bias": jnp.asarray(bk)},
-                "wv": {"kernel": jnp.asarray(wv.T), "bias": jnp.asarray(bv)},
+                "wq": {"kernel": _dev(wq.T), "bias": _dev(bq)},
+                "wk": {"kernel": _dev(wk.T), "bias": _dev(bk)},
+                "wv": {"kernel": _dev(wv.T), "bias": _dev(bv)},
                 "wo": _linear(sd, f"{p}.self_attn.projection"),
             },
             "mlp": {
@@ -464,14 +523,14 @@ def port_instructblip_vit(sd: StateDict, n_layers: int, prefix: str) -> PyTree:
     emb = f"{prefix}.embeddings"
     return {
         "patch_embed": {
-            "kernel": jnp.asarray(_conv(sd[f"{emb}.patch_embedding.weight"])),
-            "bias": jnp.asarray(np.asarray(sd[f"{emb}.patch_embedding.bias"])),
+            "kernel": _dev(_conv(sd[f"{emb}.patch_embedding.weight"])),
+            "bias": _dev(np.asarray(sd[f"{emb}.patch_embedding.bias"])),
         },
         "pos_embed": {
-            "embedding": jnp.asarray(np.asarray(sd[f"{emb}.position_embedding"]))[0]
+            "embedding": _dev(np.asarray(sd[f"{emb}.position_embedding"]))[0]
         },
         "cls": {
-            "token": jnp.asarray(np.asarray(sd[f"{emb}.class_embedding"]))[0, 0]
+            "token": _dev(np.asarray(sd[f"{emb}.class_embedding"]))[0, 0]
         },
         "layers_scanned": _stack(layer, n_layers),
         "ln_post": _ln(sd, f"{prefix}.post_layernorm"),
@@ -516,15 +575,15 @@ def port_instructblip(sd: StateDict, cfg: VLMConfig) -> PyTree:
         return layer
 
     qformer = {
-        "query_tokens": jnp.asarray(np.asarray(sd["query_tokens"]))[0],
+        "query_tokens": _dev(np.asarray(sd["query_tokens"]))[0],
         "embeddings": {
             "word": {
-                "embedding": jnp.asarray(
+                "embedding": _dev(
                     np.asarray(sd["qformer.embeddings.word_embeddings.weight"])
                 )
             },
             "position": {
-                "embedding": jnp.asarray(
+                "embedding": _dev(
                     np.asarray(
                         sd["qformer.embeddings.position_embeddings.weight"]
                     )
@@ -537,7 +596,7 @@ def port_instructblip(sd: StateDict, cfg: VLMConfig) -> PyTree:
     lm = port_llama_lm(sd, cfg.lm.num_layers, "language_model.model")
     if "lm_head" not in lm:
         lm["lm_head"] = {
-            "kernel": jnp.asarray(_t(sd["language_model.lm_head.weight"]))
+            "kernel": _dev(_t(sd["language_model.lm_head.weight"]))
         }
     return {
         "vision": port_instructblip_vit(sd, cfg.vision.num_layers, "vision_model"),
@@ -548,6 +607,76 @@ def port_instructblip(sd: StateDict, cfg: VLMConfig) -> PyTree:
 
 
 # ───────────────────────── loading from disk ─────────────────────────
+
+
+class LazyStateDict(Mapping):
+    """Streaming state-dict view over a sharded checkpoint dir.
+
+    safetensors: a key -> shard index is built from file HEADERS only;
+    each __getitem__ reads exactly one tensor (mmap slice). This bounds the
+    host RSS of a 7B+ port to ~one tensor + OS page cache instead of 3x
+    model bytes (round 2 loaded every shard eagerly; the reference leans on
+    HF sharded from_pretrained, auto_load.py:64-93).
+
+    torch .bin fallback: shards cannot be random-accessed, so one shard is
+    resident at a time (single-entry cache) — still ~1 shard of RSS, not
+    the full model.
+    """
+
+    def __init__(self, path: str):
+        import glob
+        import os
+
+        self._handles: dict = {}
+        self._index: dict[str, str] = {}
+        self._torch_cache: tuple = (None, None)
+        st = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        if st:
+            from safetensors import safe_open
+
+            for f in st:
+                h = safe_open(f, framework="numpy")
+                self._handles[f] = h
+                for k in h.keys():
+                    self._index[k] = f
+            return
+        bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+        if not bins:
+            raise FileNotFoundError(f"no weights found under {path}")
+        import torch
+
+        for f in bins:
+            try:  # meta map_location: index keys without reading data
+                part = torch.load(
+                    f, map_location="meta", weights_only=True
+                )
+            except Exception:
+                part = torch.load(f, map_location="cpu", weights_only=True)
+            for k in part:
+                self._index[k] = f
+
+    def __getitem__(self, k: str):
+        f = self._index[k]
+        if self._handles:
+            return self._handles[f].get_tensor(k)
+        if self._torch_cache[0] != f:
+            import torch
+
+            self._torch_cache = (
+                f, torch.load(f, map_location="cpu", weights_only=True)
+            )
+        return self._torch_cache[1][k].float().numpy()
+
+    def __iter__(self):
+        return iter(self._index)
+
+    def __len__(self):
+        return len(self._index)
+
+
+def open_hf_state_dict(path: str) -> LazyStateDict:
+    """Streaming open (the production load path): per-tensor mmap reads."""
+    return LazyStateDict(path)
 
 
 def load_hf_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -587,6 +716,8 @@ def cast_tree(tree: PyTree, dtype) -> PyTree:
     import jax
 
     return jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != dtype
+        else x,
         tree,
     )
