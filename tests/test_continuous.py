@@ -135,3 +135,36 @@ def _generator_expected_text(cfg, params, reqs):
         toks = np.asarray(gen(params, batch))[0]
         outs.append([int(t) for t in toks if t != -1])
     return outs
+
+
+def test_eval_runner_continuous_matches_batched():
+    """EvalRunner(continuous_batching=True) reproduces the batched path's
+    greedy responses on a small VQA set (incl. image + text-only rows)."""
+    import dataclasses as _dc
+
+    from tests.test_eval import fake_image_loader, make_processor
+    from vlrlhf_tpu.data.collators import CollatorConfig
+    from vlrlhf_tpu.eval.harness import EvalRunner
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    processor = make_processor(num_image_tokens=16)
+    base = dict(
+        model_cfg=cfg, params=params, processor=processor,
+        gen_cfg=GenerateConfig(max_new_tokens=4, pad_token_id=0),
+        collator_cfg=CollatorConfig(
+            pad_token_id=0, bucket_multiple=32, image_size=16
+        ),
+        image_loader=fake_image_loader,
+    )
+    rows = [
+        {"question": "what color is the square?", "img": "a.jpg"},
+        {"question": "describe the scene in detail", "img": "b.jpg"},
+        {"question": "just text, no image here"},
+        {"question": "another question about the image", "img": "c.jpg"},
+    ]
+    want = EvalRunner(**base).run_vqa(rows, batch_size=2)
+    got = EvalRunner(**base, continuous_batching=True).run_vqa(
+        rows, batch_size=2
+    )
+    assert [r["response"] for r in got] == [r["response"] for r in want]

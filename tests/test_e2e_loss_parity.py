@@ -8,6 +8,12 @@ here as the oracle). jax side: ported weights -> vlm_forward -> batch_logps
 -> dpo_loss. Policy and reference are two independently-initialized models so
 the loss is non-trivial.
 """
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import jax
 import jax.numpy as jnp

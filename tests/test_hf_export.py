@@ -6,6 +6,12 @@ tests (our forward == HF logits), byte-equal round trips prove the exported
 checkpoint is logits-equivalent to the source — the contract of the
 reference's merge_peft_model.py output.
 """
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import numpy as np
 import pytest

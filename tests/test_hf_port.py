@@ -1,6 +1,12 @@
 """Weight-porting parity: our forward must match HF transformers' logits on
 randomly-initialized tiny models (fp32, CPU). This is the mechanism behind
 the 1e-3 per-step DPO-loss parity target (BASELINE.md)."""
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,11 @@
 """Porting parity for QWen / InternLM2 (vendored reference cores as oracles,
 imported read-only) and InstructBLIP (HF transformers)."""
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import importlib
 import importlib.machinery

@@ -3,6 +3,12 @@
 with strings, which multihost_utils does not support. gather_objects encodes
 shards to uint8 buffers; this test runs TWO actual processes on localhost and
 checks content + dataset ordering."""
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import json
 import os

@@ -6,6 +6,12 @@ localhost (1 CPU device each -> a 2-device global mesh) and assert per-step
 losses/metrics/updated-adapter fingerprints EQUAL the single-process run on
 the same global batch. Mirrors the reference's per-rank accelerate
 dataloader shards (accelerate_config/zero2.yaml:6-8)."""
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import json
 import os

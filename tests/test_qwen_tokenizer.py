@@ -15,6 +15,12 @@ vendored QWenTokenizer (read-only import) over it, and checks:
     modeling_qwen.py:620-625 — so only span geometry matters),
   - "\n" is a single token and the special ids are the published ones.
 """
+import pytest as _pytest
+
+# heavy (torch-oracle / multi-process spawn) — excluded from the
+# fast gate via `pytest -m "not slow"`
+pytestmark = _pytest.mark.slow
+
 
 import base64
 import os

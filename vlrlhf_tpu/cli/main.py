@@ -760,8 +760,23 @@ def cmd_ppo(args):
     if args.synthetic:
         gen_collator.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
 
-    logger = MetricsLogger(args.output_dir, args.run_name or "ppo",
-                           tuple(args.report_to.split(",")))
+    from vlrlhf_tpu.train.flops import ppo_flops_per_token, vision_flops_per_image
+
+    # PPO MFU accounting: stats + inner-epoch update FLOPs per rollout-batch
+    # token; the denominator is the FULL outer step (incl. rollout wall
+    # time), so this is an honest end-to-end trainer MFU, not an update-only
+    # number. Rollout throughput shows separately as ppo/rollout_tok_s.
+    logger = MetricsLogger(
+        args.output_dir, args.run_name or "ppo",
+        tuple(args.report_to.split(",")),
+        flops_per_token=ppo_flops_per_token(
+            cfg, args.max_length, ppo_epochs=args.ppo_epochs,
+            separate_value=args.use_value_adapter,
+            train_mode="adapter" if args.use_lora else "full",
+        ),
+        flops_per_image=vision_flops_per_image(cfg.vision),
+        n_chips=jax.device_count(),
+    )
     rng = jax.random.PRNGKey(args.seed)
     pad_id = processor.tokenizer.pad_token_id or 0
     bs = args.per_device_train_batch_size
@@ -805,6 +820,9 @@ def cmd_ppo(args):
             # Chunked rollouts (the reference's generate(batch_size=32),
             # base/trainer.py:437-443): same bucketed prompt length across
             # chunks -> one compiled program.
+            import time as _time
+
+            _t0 = _time.perf_counter()
             parts = []
             for cs in range(0, bs, chunk_sz):
                 sub = {
@@ -814,6 +832,7 @@ def cmd_ppo(args):
                 rng, krng = jax.random.split(rng)
                 parts.append(np.asarray(gen(params, sub, rng=krng)))
             tokens = np.concatenate(parts, axis=0)
+            rollout_dt = _time.perf_counter() - _t0
             batch = rollout_to_batch(pb, tokens, pad_id)
             raw_scores = np.asarray(reward_fn(batch), np.float32)
             if not np.all(np.isfinite(raw_scores)):
@@ -848,9 +867,21 @@ def cmd_ppo(args):
         metrics["ppo/mean_score"] = float(jnp.mean(scores))
         metrics["ppo/kl"] = float(stats.kl)
         metrics["ppo/kl_coef"] = kl_ctl.value
+        metrics["perf/interval_tokens"] = float(
+            np.prod(batch["input_ids"].shape)
+        )
+        metrics["perf/interval_images"] = float(
+            0 if batch.get("pixel_values") is None
+            else np.prod(batch["pixel_values"].shape[:1])
+        )
+        metrics["ppo/rollout_tok_s"] = float(
+            tokens.size / max(rollout_dt, 1e-9)
+        )
         logger.log(it + 1, metrics)
         # gamelog: sample query/response pairs (the reference's wandb image
-        # gamelog, base/trainer.py:493-497 — text form, jsonl)
+        # gamelog, base/trainer.py:493-497 — jsonl always; when wandb is the
+        # sink AND the sample has an image, the reference's wandb.Image
+        # caption form too)
         if it % 10 == 0:
             import json as _json
 
@@ -859,6 +890,19 @@ def cmd_ppo(args):
                 resp = processor.tokenizer.decode(
                     toks[toks != pad_id].tolist(), skip_special_tokens=True
                 )
+                if logger._wandb is not None and chunk[0].get("img_path"):
+                    try:
+                        import wandb as _wandb
+
+                        logger._wandb.log({
+                            "game_log": _wandb.Image(
+                                chunk[0]["img_path"],
+                                caption=(f"{chunk[0]['prompt']} -> {resp} "
+                                         f"(score {float(scores[0]):.3f})"),
+                            )
+                        }, step=it + 1)
+                    except Exception:
+                        pass
                 f.write(_json.dumps(
                     {"step": it + 1, "prompt": chunk[0]["prompt"],
                      "response": resp, "score": float(scores[0])}
@@ -904,6 +948,7 @@ def cmd_eval(args):
             grid_pinpoints=cfg.grid_pinpoints,
             tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
         ),
+        continuous_batching=args.continuous_batching,
     )
     if args.synthetic:
         runner.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
@@ -921,6 +966,13 @@ def cmd_eval(args):
             jnp.bfloat16 if args.bf16 else jnp.float32,
             args.max_length, args.max_prompt_length,
         )
+        if args.quantize:
+            # co-residency on one 16 GiB chip: two 7B stacks fit only with
+            # int8 on BOTH (tools/judge_coresidency.py proves the plan;
+            # recipes/eval/eval_mmbench_judge_1v5e.sh is the recipe)
+            from vlrlhf_tpu.ops.quant import quantize_params as _qp
+
+            jparams = jax.jit(_qp, donate_argnums=0)(jparams)
         judge_runner = EvalRunner(
             model_cfg=jcfg, params=jparams, processor=jproc,
             gen_cfg=GenerateConfig(
@@ -1036,6 +1088,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bf16", "int8"],
                    help="int8 halves KV-cache HBM: bigger batches / longer "
                         "contexts fit (7B long-context needs it on 16 GiB)")
+    p.add_argument("--continuous_batching",
+                   type=lambda x: x.lower() == "true", default=False,
+                   help="slot-refill serving for generation benchmarks "
+                        "(mixed response lengths stop straggling batches; "
+                        "per_device_train_batch_size sets the slot count)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

@@ -361,6 +361,12 @@ def run_benchmark(
         from vlrlhf_tpu.eval.db import save_results_json
 
         save_results_json(output_json, results)
+        # xlsx twin of the json artifact (the reference's per-benchmark
+        # xlsx output, eval/utils.py:79) — dependency-free writer
+        if output_json.endswith(".json"):
+            from vlrlhf_tpu.eval.xlsx import write_xlsx
+
+            write_xlsx(output_json[: -len(".json")] + ".xlsx", results)
     if sqlite_db and is_main_process():
         from vlrlhf_tpu.eval.db import log_metrics_to_sqlite
 

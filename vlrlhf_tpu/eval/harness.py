@@ -40,6 +40,9 @@ class EvalRunner:
     image_loader: Optional[Callable] = None
     adapters: Optional[PyTree] = None
     lora_scale: float = 1.0
+    # slot-refill continuous batching for run_vqa (generate/continuous.py);
+    # batch_size then sets the number of SLOTS
+    continuous_batching: bool = False
 
     def __post_init__(self):
         self._gen = Generator(
@@ -72,6 +75,56 @@ class EvalRunner:
             row["qformer_input_ids"] = self.processor.qformer_ids(question)
         return row
 
+    def _run_vqa_continuous(
+        self, rows, prompt_key, image_key, n_slots, progress
+    ) -> list[dict]:
+        """Slot-refill serving (generate/continuous.py): mixed response
+        lengths no longer straggle whole batches — the sglang-server role's
+        core win, in-process."""
+        from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
+
+        reqs = []
+        for r in rows:
+            prow = self._prompt_row(r[prompt_key], r.get(image_key))
+            b = self._gen_collator([prow])
+            plen = int(b["prompt_lens"][0])
+            has_img = prow.get("img_path") is not None
+            if b.get("anyres_gather") is not None and has_img:
+                pv, gather = b["pixel_values"][0], b["anyres_gather"][0]
+            elif has_img:
+                pv, gather = b["pixel_values"][0, 0], None
+            else:
+                pv = gather = None
+            reqs.append(Request(
+                input_ids=np.asarray(b["input_ids"][0, :plen]),
+                pixel_values=pv,
+                image_positions=(
+                    np.asarray(b["image_positions"][0]) if has_img else None
+                ),
+                qformer_input_ids=prow.get("qformer_input_ids"),
+                anyres_gather=gather,
+            ))
+        cache_len = -(-(max(len(q.input_ids) for q in reqs)
+                        + self.gen_cfg.max_new_tokens) // 128) * 128
+        key = (n_slots, cache_len)
+        if getattr(self, "_cb_engines", None) is None:
+            self._cb_engines = {}
+        if key not in self._cb_engines:
+            self._cb_engines[key] = ContinuousEngine(
+                self.model_cfg, self.gen_cfg, n_slots=n_slots,
+                cache_len=cache_len, adapters=self.adapters,
+                lora_scale=self.lora_scale,
+            )
+        outs = self._cb_engines[key].run(self.params, reqs, progress=progress)
+        results = []
+        for r, toks in zip(rows, outs):
+            r = dict(r)
+            r["response"] = self.processor.tokenizer.decode(
+                list(toks), skip_special_tokens=True
+            ).strip()
+            results.append(r)
+        return results
+
     def run_vqa(
         self,
         rows: Sequence[dict],
@@ -81,6 +134,10 @@ class EvalRunner:
         progress: bool = False,
     ) -> list[dict]:
         """Each row gains a 'response' string; returns rows in order."""
+        if self.continuous_batching:
+            return self._run_vqa_continuous(
+                rows, prompt_key, image_key, batch_size, progress
+            )
         results = []
         it = range(0, len(rows), batch_size)
         if progress:

@@ -6,24 +6,34 @@ is continuous batching: when a sequence finishes, its slot is refilled with
 the next pending prompt while other sequences keep decoding — a static batch
 instead idles every finished slot until the batch's straggler completes.
 
-TPU-first design (round 3; builds on the round-2 chunked-prefill machinery):
+TPU-first design (round 3, v3). Two compiled program families:
 
-  - B fixed SLOTS over one head-major KV cache (L, B, nkv, Sc, hd) — static
-    shapes, two compiled programs total:
-      * decode step  — all active slots advance one token (Pallas decode
-        kernel, deferred writes, donated buffers; generate/engine.py path)
-      * chunk step   — slots being refilled consume up to `prefill_chunk`
-        prompt tokens while every decoding slot STILL advances one token in
-        the same dispatch (its chunk is just [last_token]); free slots ride
-        with chunk_len 0 (masked no-ops). This is sglang-style chunked
-        prefill: joining work never stalls running work.
-  - Vision runs ONCE per request at admission (jitted encode+project); the
-    projected features sit in a (B, N_img_tok, D) slot buffer and are merged
-    into prompt-chunk embeddings on device (same one-hot-matmul merge as
-    training, offset to the chunk window).
-  - The host scheduler owns tiny (B,) bookkeeping (phase, cursors, per-row
-    stop); the device owns everything heavy. One (B,) token fetch per step —
-    the same sync the measured 'host' decode mode pays.
+  - ADMIT (per prompt-bucket x group-size): ONE dispatch fusing the full
+    multimodal prefill (vision tower + merge + LM,
+    generate/engine._generate_impl) of the slots admitted this round into a
+    prompt-bucket-sized scratch cache WITH the scatter into the big
+    (L, B, nkv, Sc, hd) head-major cache at the freed slots (donated), the
+    parking of their stale deferred writes, AND the scheduler-state rows of
+    the admitted slots. Exactly the prompts' FLOPs — a first cut that
+    piggybacked prompt chunks on full-batch decode steps paid B x the prompt
+    FLOPs in padding and measured 4x SLOWER than static batching.
+  - DECODE BURST: up to `decode_burst` tokens for every active slot in ONE
+    dispatch (lax.while_loop over the Pallas decode step, donated buffers).
+    ADAPTIVE: per-row budgets live on device, so finishes are device-visible
+    — with queued work the loop exits once `exit_free` slots retire (refill
+    latency ~1 token); with an empty queue it runs long, amortizing the
+    fixed cost of a dispatch.
+
+Control-plane traffic is the scheduler's tax, and over the axon tunnel every
+eager transfer costs milliseconds — so ALL scheduler state
+(lengths / last_token / active / remaining budget) is DEVICE-RESIDENT,
+updated in place by both program families (donated), as is the sampling rng
+(threaded admit -> admit -> burst; the host never splits it). The host's
+only per-round device traffic is the jitted call argument upload (numpy
+prompt rows ride the dispatch, never eager jnp.asarray) and ONE packed
+(B, burst+2) download per burst: [first-token echo | tokens | final length].
+The v2 design re-uploaded host-composed state and downloaded the admit's
+first tokens separately — two extra tunnel syncs per refill round.
 """
 
 from __future__ import annotations
@@ -36,15 +46,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vlrlhf_tpu.generate.engine import GenerateConfig, _empty_pending
-from vlrlhf_tpu.models.common import Ctx, embed
-from vlrlhf_tpu.models.lm.llama import lm_decode, lm_prefill_chunk
-from vlrlhf_tpu.models.vlm import VLMConfig, encode_images
-from vlrlhf_tpu.ops.sampling import sample_tokens
+from vlrlhf_tpu.generate.engine import (
+    GenerateConfig,
+    _decode_body,
+    _empty_pending,
+    _generate_impl,
+)
+from vlrlhf_tpu.models.common import Ctx
 
 PyTree = Any
 
-FREE, PROMPT, DECODE = 0, 1, 2
+FREE, DECODE = 0, 2
 
 
 @dataclasses.dataclass
@@ -53,108 +65,129 @@ class Request:
     VLProcessor.expand_image_tokens / GenerationCollator rows)."""
 
     input_ids: np.ndarray  # (L,)
-    pixel_values: Optional[np.ndarray] = None  # (H, W, 3) uint8, one image
+    pixel_values: Optional[np.ndarray] = None  # (H, W, 3), one image
     image_positions: Optional[np.ndarray] = None  # (N_img_tok,)
     qformer_input_ids: Optional[np.ndarray] = None
+    anyres_gather: Optional[np.ndarray] = None
     max_new_tokens: Optional[int] = None  # per-request cap (else gen_cfg's)
 
 
-def _cb_decode_impl(
-    model_cfg: VLMConfig,
+# Scheduler state rows (device-resident (4, B) int32).
+_LEN, _TOK, _ACT, _REM = 0, 1, 2, 3
+
+
+def _cb_burst_impl(
+    model_cfg,
     gen_cfg: GenerateConfig,
+    max_burst: int,
+    exit_free: int,  # compile-time burst-exit threshold: stop once this
+    # many active slots have retired (0 = never, queue empty -> run long).
+    # Exiting on EVERY finish paid one host turnaround per request (tunnel
+    # latency); waiting for a small group of finishes cuts the dispatch
+    # count AND lets refills share a batched prefill, while an idle slot
+    # costs only ~1 extra decode step per few idle tokens (bandwidth-bound
+    # steps are ~flat in the active-row count)
     params: PyTree,
     cache: dict,
     pending: dict,
-    lengths: jax.Array,  # (B,)
-    last_token: jax.Array,  # (B,)
-    active: jax.Array,  # (B,) bool — slots in DECODE phase
-    it: jax.Array,  # scalar int32 iteration (rng folding)
+    state: jax.Array,  # (4, B) int32 device-resident scheduler state
     rng: jax.Array,
     adapters: Optional[PyTree],
     lora_scale: float,
 ):
-    """All active slots advance one token; inactive slots are masked no-ops
-    (their pending write parks out of bounds)."""
+    """Adaptive decode burst: up to `max_burst` tokens for every active slot
+    in one dispatch. Returns (cache, pending, state, rng,
+    packed (B, max_burst+2): [first-token echo | tokens | final length])."""
     ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
+    lengths0, last0 = state[_LEN], state[_TOK]
+    active0 = state[_ACT].astype(bool)
+    remaining = state[_REM]
+    b = lengths0.shape[0]
     sc = cache["k"].shape[3]
-    logits, cache, pending = lm_decode(
-        model_cfg.lm,
-        params["lm"],
-        last_token=last_token,
-        lengths=lengths,
-        cache=cache,
-        ctx=ctx.sub("lm"),
-        pending=pending,
+    out = jnp.full((b, max_burst), gen_cfg.pad_token_id, jnp.int32)
+    # park stale deferred writes of inactive slots (freed rows must not leak
+    # a late kv write into a subsequently admitted prompt's range)
+    pending = dict(pending, pos=jnp.where(active0, pending["pos"], sc))
+
+    def cond(carry):
+        i, _cache, _pending, _lengths, _last, done, _out, _rng = carry
+        go = (i < max_burst) & ~jnp.all(done)
+        if exit_free:
+            freed = jnp.sum((done & active0).astype(jnp.int32))
+            go &= freed < exit_free
+        return go
+
+    def body(carry):
+        i, cache, pending, lengths, last_token, done, out, rng = carry
+        cache, pending, lengths, last_token, done, out, rng = _decode_body(
+            model_cfg, gen_cfg, params, ctx, eos,
+            cache, pending, lengths, last_token, done, out, i, rng,
+        )
+        done = done | (active0 & ((lengths - lengths0) >= remaining))
+        return (i + 1, cache, pending, lengths, last_token, done, out, rng)
+
+    carry = (jnp.int32(0), cache, pending, lengths0, last0, ~active0,
+             out, rng)
+    carry = jax.lax.while_loop(cond, body, carry)
+    _, cache, pending, lengths, last_token, done, out, rng = carry
+    state = jnp.stack([
+        lengths,
+        last_token,
+        (active0 & ~done).astype(jnp.int32),
+        remaining - (lengths - lengths0),
+    ])
+    packed = jnp.concatenate(
+        [last0[:, None], out, lengths[:, None]], axis=1
     )
-    krng = jax.random.fold_in(rng, it)
-    next_token = sample_tokens(
-        logits[:, 0], krng, temperature=gen_cfg.temperature,
-        top_k=gen_cfg.top_k, top_p=gen_cfg.top_p, do_sample=gen_cfg.do_sample,
-    )
-    next_token = jnp.where(active, next_token, gen_cfg.pad_token_id)
-    pending = dict(pending, pos=jnp.where(active, pending["pos"], sc))
-    return cache, pending, next_token
+    return cache, pending, state, rng, packed
 
 
-def _cb_chunk_impl(
-    model_cfg: VLMConfig,
+def _admit_impl(
+    model_cfg,
     gen_cfg: GenerateConfig,
+    scratch_len: int,  # prompt bucket — the scratch cache is sized to it,
+    # NOT the full cache_len (a full-length scratch at group size n_slots
+    # doubles the multi-GB cache and OOMs)
+    cache_len: int,
     params: PyTree,
-    cache: dict,
-    pending: dict,
-    ids_chunk: jax.Array,  # (B, C): prompt chunk / [last_token] / zeros
-    chunk_lens: jax.Array,  # (B,): C' / 1 / 0
-    lengths: jax.Array,  # (B,) tokens already in cache per slot
-    feat_buf: jax.Array,  # (B, Nf, D) admission-computed image features
-    feat_pos: jax.Array,  # (B, Nf) GLOBAL prompt positions; -1 = unused
-    reset_mask: jax.Array,  # (B,) bool: newly admitted slots — drop their
-    # stale pending write before it lands in the fresh prompt's region
-    it: jax.Array,
-    rng: jax.Array,
-    adapters: Optional[PyTree],
-    lora_scale: float,
+    big_cache: dict,
+    big_pending: dict,
+    state: jax.Array,  # (4, B) int32, donated
+    slots: jax.Array,  # (Bp,) int32 target slots (may repeat: see below)
+    budgets: jax.Array,  # (Bp,) int32 per-request max_new_tokens
+    input_ids, pad_mask, prompt_lens, pv, ipos, gather, qi, qm,
+    rng, adapters, lora_scale,
 ):
-    """Mixed step: refilling slots consume a prompt chunk, decoding slots
-    advance one token, all in one dispatch."""
-    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
-    b, c = ids_chunk.shape
-    sc = cache["k"].shape[3]
-    pending = dict(pending, pos=jnp.where(reset_mask, sc, pending["pos"]))
-
-    x = embed(params["lm"]["embed_tokens"], ids_chunk, model_cfg.lm.dtype)
-    # merge image features whose global position lands in this chunk window
-    rel = feat_pos - lengths[:, None]  # (B, Nf)
-    valid = ((feat_pos >= 0) & (rel >= 0) & (rel < c))[..., None]
-    relc = jnp.where(valid[..., 0], rel, 0)
-    one_hot = jax.nn.one_hot(relc, c, dtype=x.dtype) * valid.astype(x.dtype)
-    scattered = jnp.einsum("bnc,bnd->bcd", one_hot, feat_buf.astype(x.dtype))
-    is_img = jnp.sum(one_hot, axis=1)[..., None]
-    x = x * (1.0 - is_img) + scattered
-
-    logits, cache, _ = lm_prefill_chunk(
-        model_cfg.lm,
-        params["lm"],
-        input_ids=ids_chunk,
-        chunk_lens=chunk_lens,
-        lengths=lengths,
-        cache=cache,
-        ctx=ctx.sub("lm"),
-        pending=pending,
-        input_embeds=x,
+    """Fused admission: full multimodal prefill of the admitted group +
+    scatter into the big cache's `slots` first scratch_len positions
+    (donated: in-place rows) + parking of those slots' stale deferred
+    writes + the admitted slots' scheduler-state rows — ONE dispatch per
+    admission round, NO download (the first sampled token reaches the host
+    as the next burst's echo column). Duplicate slots are allowed ONLY with
+    identical row content (group padding replicates the last request, so
+    racing writes carry the same bytes). Stale kv beyond scratch_len is
+    never attended (slot <= position masking) and is overwritten as decode
+    proceeds."""
+    rng, krng = jax.random.split(rng)
+    small, _, first_token, done0, _ = _generate_impl(
+        model_cfg, gen_cfg, scratch_len, params, input_ids, pad_mask,
+        prompt_lens, pv, ipos, gather, qi, qm, krng, adapters, lora_scale,
     )
-    last = jnp.take_along_axis(
-        logits, jnp.maximum(chunk_lens - 1, 0)[:, None, None], axis=1
-    )[:, 0]
-    krng = jax.random.fold_in(rng, it)
-    next_token = sample_tokens(
-        last, krng, temperature=gen_cfg.temperature, top_k=gen_cfg.top_k,
-        top_p=gen_cfg.top_p, do_sample=gen_cfg.do_sample,
+    out = {
+        k: big_cache[k].at[:, slots, :, 0:scratch_len].set(small[k])
+        for k in big_cache
+    }
+    pend = dict(
+        big_pending, pos=big_pending["pos"].at[slots].set(cache_len)
     )
-    next_token = jnp.where(
-        chunk_lens > 0, next_token, gen_cfg.pad_token_id
-    )
-    new_pending = _empty_pending(model_cfg.lm, b, sc)
-    return cache, new_pending, next_token
+    rem = budgets - 1  # the prefill itself emitted the first token
+    active = (~done0) & (rem > 0)
+    state = state.at[_LEN, slots].set(prompt_lens)
+    state = state.at[_TOK, slots].set(first_token)
+    state = state.at[_ACT, slots].set(active.astype(jnp.int32))
+    state = state.at[_REM, slots].set(rem)
+    return out, pend, state, rng
 
 
 class ContinuousEngine:
@@ -162,11 +195,20 @@ class ContinuousEngine:
 
     def __init__(
         self,
-        model_cfg: VLMConfig,
+        model_cfg,
         gen_cfg: GenerateConfig,
         n_slots: int = 8,
         cache_len: int = 1024,
-        prefill_chunk: int = 128,
+        prefill_chunk: int = 128,  # prompt-length bucket multiple
+        decode_burst: int = 0,  # 0 = gen_cfg.max_new_tokens (the
+        # while_loop exits early on finishes anyway; a long bound makes the
+        # queue-empty tail ONE dispatch)
+        max_prefill_group: int = 2,  # scratch-cache memory cap: at 7B on a
+        # 16 GiB chip with a bf16 cache there is room for ~2 slot-rows of
+        # prefill scratch (+ its layout-transpose transient); an int8 KV
+        # cache affords 4-8
+        exit_free: int = 2,  # burst-exit threshold: wait for this many
+        # finishes before paying a host turnaround (see _cb_burst_impl)
         adapters: Optional[PyTree] = None,
         lora_scale: float = 1.0,
     ):
@@ -174,50 +216,150 @@ class ContinuousEngine:
         self.gen_cfg = gen_cfg
         self.n_slots = n_slots
         self.cache_len = cache_len
-        self.prefill_chunk = prefill_chunk
+        self.prefill_chunk = max(prefill_chunk, 1)
+        self.decode_burst = max(decode_burst or gen_cfg.max_new_tokens, 1)
+        self.max_prefill_group = max(max_prefill_group, 1)
+        self.exit_free = max(exit_free, 1)
         self.adapters = adapters
         self.lora_scale = lora_scale
         self._compiled: dict = {}
 
-    # ---------------- compiled helpers ----------------
-
-    def _decode_fn(self):
-        if "decode" not in self._compiled:
-            self._compiled["decode"] = jax.jit(
-                functools.partial(_cb_decode_impl, self.model_cfg, self.gen_cfg),
-                donate_argnums=(1, 2),  # cache, pending
-            )
-        return self._compiled["decode"]
-
-    def _chunk_fn(self):
-        if "chunk" not in self._compiled:
-            self._compiled["chunk"] = jax.jit(
-                functools.partial(_cb_chunk_impl, self.model_cfg, self.gen_cfg),
-                donate_argnums=(1, 2),
-            )
-        return self._compiled["chunk"]
-
-    def _encode_fn(self, with_qformer: bool):
-        key = ("encode", with_qformer)
+    def _admit_fn(self, scratch_len: int):
+        key = ("admit", scratch_len)
         if key not in self._compiled:
-            if with_qformer:
-                self._compiled[key] = jax.jit(
-                    lambda p, pv, qi, qm: encode_images(
-                        self.model_cfg, p, pv, qformer_ids=qi, qformer_mask=qm
-                    )
-                )
-            else:
-                self._compiled[key] = jax.jit(
-                    lambda p, pv: encode_images(self.model_cfg, p, pv)
-                )
+            self._compiled[key] = jax.jit(
+                functools.partial(
+                    _admit_impl, self.model_cfg, self.gen_cfg,
+                    scratch_len, self.cache_len,
+                ),
+                donate_argnums=(1, 2, 3),  # big cache, pending, state
+            )
         return self._compiled[key]
 
-    def _set_row_fn(self):
-        if "set_row" not in self._compiled:
-            self._compiled["set_row"] = jax.jit(
-                lambda buf, i, row: buf.at[i].set(row), donate_argnums=0
+    def _burst_fn(self, exit_free: int):
+        key = ("burst", exit_free)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(
+                    _cb_burst_impl, self.model_cfg, self.gen_cfg,
+                    self.decode_burst, exit_free,
+                ),
+                donate_argnums=(1, 2, 3),
             )
-        return self._compiled["set_row"]
+        return self._compiled[key]
+
+    # ---------------- admission ----------------
+
+    def _admit_group(self, params, cache, pending, state, group, requests,
+                     rng):
+        """One batched prefill for all (slot, req) pairs admitted this
+        round with the same prompt bucket; group size padded to a power of
+        two (repeats of the last row; duplicate slot writes carry identical
+        bytes). All inputs ride the jitted dispatch as numpy — NO eager
+        uploads, NO download. Returns (cache, pending, state, rng)."""
+        slots = [s for s, _ in group]
+        reqs = [requests[ridx] for _, ridx in group]
+        lb = max(
+            -(-len(r.input_ids) // self.prefill_chunk) * self.prefill_chunk
+            for r in reqs
+        )
+        bp = 1
+        while bp < len(group):
+            bp *= 2
+        rows = np.zeros((bp, lb), np.int32)
+        pad = np.zeros((bp, lb), bool)
+        plens = np.zeros((bp,), np.int32)
+        budgets = np.zeros((bp,), np.int32)
+        for i in range(bp):
+            r = reqs[min(i, len(reqs) - 1)]
+            ids = np.asarray(r.input_ids, np.int32)
+            rows[i, : len(ids)] = ids
+            pad[i, : len(ids)] = True
+            plens[i] = len(ids)
+            budgets[i] = r.max_new_tokens or self.gen_cfg.max_new_tokens
+        r0 = reqs[0]
+        pv = ipos = gather = qi = qm = None
+        if r0.pixel_values is not None:
+            if r0.anyres_gather is not None:
+                pv = np.stack([
+                    np.asarray(reqs[min(i, len(reqs) - 1)].pixel_values)
+                    for i in range(bp)
+                ])
+                gather = np.stack([
+                    np.asarray(reqs[min(i, len(reqs) - 1)].anyres_gather,
+                               np.int32)
+                    for i in range(bp)
+                ])
+            else:
+                pv = np.stack([
+                    np.asarray(reqs[min(i, len(reqs) - 1)].pixel_values)[None]
+                    for i in range(bp)
+                ])
+            ipos = np.stack([
+                np.asarray(reqs[min(i, len(reqs) - 1)].image_positions,
+                           np.int32)
+                for i in range(bp)
+            ])
+            if r0.qformer_input_ids is not None:
+                ql = max(len(r.qformer_input_ids) for r in reqs)
+                qn = np.zeros((bp, ql), np.int32)
+                qmk = np.zeros((bp, ql), bool)
+                for i in range(bp):
+                    q = np.asarray(
+                        reqs[min(i, len(reqs) - 1)].qformer_input_ids,
+                        np.int32,
+                    )
+                    qn[i, : len(q)] = q
+                    qmk[i, : len(q)] = True
+                qi, qm = qn, qmk
+        # padding rows replicate the last request's content, so their
+        # duplicate-slot writes carry identical bytes (safe scatter race)
+        slot_vec = np.full((bp,), slots[-1], np.int32)
+        slot_vec[: len(slots)] = slots
+        return self._admit_fn(lb)(
+            params, cache, pending, state, slot_vec, budgets,
+            rows, pad, plens, pv, ipos, gather, qi, qm,
+            rng, self.adapters, self.lora_scale,
+        )
+
+    def _fresh_buffers(self):
+        gen_cfg = self.gen_cfg
+        b, sc = self.n_slots, self.cache_len
+        lm = self.model_cfg.lm
+        kv_dt = jnp.int8 if gen_cfg.kv_cache_dtype == "int8" else lm.dtype
+        shape = (lm.num_layers, b, lm.num_kv_heads, sc, lm.head_dim_)
+        cache = {"k": jnp.zeros(shape, kv_dt), "v": jnp.zeros(shape, kv_dt)}
+        if gen_cfg.kv_cache_dtype == "int8":
+            sshape = (lm.num_layers, b, lm.num_kv_heads, sc)
+            cache["k_scale"] = jnp.zeros(sshape, jnp.bfloat16)
+            cache["v_scale"] = jnp.zeros(sshape, jnp.bfloat16)
+        pending = _empty_pending(lm, b, sc)
+        state = jnp.zeros((4, b), jnp.int32)
+        return cache, pending, state
+
+    def warmup(self, params, example: Request) -> None:
+        """Compile every program the scheduler can hit — admit at all
+        power-of-two group sizes and burst at all exit thresholds — so a
+        measured/served run never stalls on a mid-flight XLA compile
+        (minutes at 7B)."""
+        cache, pending, state = self._fresh_buffers()
+        sizes, s = {1}, 1
+        while s < self.max_prefill_group:
+            s *= 2
+            sizes.add(min(s, self.max_prefill_group))
+        rng = jax.device_put(jax.random.PRNGKey(0))
+        b = self.n_slots
+        for bp in sorted(sizes):
+            group = [(i % b, 0) for i in range(bp)]
+            cache, pending, state, rng = self._admit_group(
+                params, cache, pending, state, group, [example], rng
+            )
+        for ef in sorted({0, 1, self.exit_free}):
+            cache, pending, state, rng, packed = self._burst_fn(ef)(
+                params, cache, pending, state, rng,
+                self.adapters, self.lora_scale,
+            )
+        np.asarray(packed)
 
     # ---------------- the scheduler ----------------
 
@@ -229,74 +371,35 @@ class ContinuousEngine:
         progress: bool = False,
     ) -> list[list[int]]:
         """Serve all requests; returns response token ids per request, in
-        request order. Admission order is FIFO into whichever slot frees."""
-        cfg, gen_cfg = self.model_cfg, self.gen_cfg
-        b, sc, chunk = self.n_slots, self.cache_len, self.prefill_chunk
+        request order. Admission is FIFO into whichever slots free first."""
+        gen_cfg = self.gen_cfg
+        b, sc = self.n_slots, self.cache_len
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        lm = cfg.lm
-        nf = cfg.num_image_tokens
+        rng = jax.device_put(rng)  # carried on device across all dispatches
 
         for r in requests:
-            need = len(r.input_ids) + (r.max_new_tokens or gen_cfg.max_new_tokens)
+            need = len(r.input_ids) + (
+                r.max_new_tokens or gen_cfg.max_new_tokens
+            )
             if need > sc:
                 raise ValueError(
                     f"request needs {need} cache slots, engine has {sc}"
                 )
 
-        kv_dt = jnp.int8 if gen_cfg.kv_cache_dtype == "int8" else lm.dtype
-        cache = {
-            "k": jnp.zeros((lm.num_layers, b, lm.num_kv_heads, sc, lm.head_dim_), kv_dt),
-            "v": jnp.zeros((lm.num_layers, b, lm.num_kv_heads, sc, lm.head_dim_), kv_dt),
-        }
-        if gen_cfg.kv_cache_dtype == "int8":
-            cache["k_scale"] = jnp.zeros(
-                (lm.num_layers, b, lm.num_kv_heads, sc), jnp.bfloat16
-            )
-            cache["v_scale"] = jnp.zeros(
-                (lm.num_layers, b, lm.num_kv_heads, sc), jnp.bfloat16
-            )
-        pending = _empty_pending(lm, b, sc)
-        feat_buf = jnp.zeros((b, nf, lm.hidden_size), lm.dtype)
-        feat_pos = np.full((b, nf), -1, np.int32)
+        cache, pending, state = self._fresh_buffers()
 
+        # host MIRROR of the device scheduler state — updated only from the
+        # packed burst downloads; its finish decisions replicate the
+        # device's (same eos set, same budgets), so they never drift
         phase = np.full((b,), FREE, np.int32)
         lengths = np.zeros((b,), np.int32)
-        cursor = np.zeros((b,), np.int32)
         stop_at = np.zeros((b,), np.int32)
         req_idx = np.full((b,), -1, np.int32)
-        last_token = np.zeros((b,), np.int32)
-        prompts: list[Optional[np.ndarray]] = [None] * b
         responses: list[list[int]] = [[] for _ in requests]
         eos = set(gen_cfg.eos_token_ids or ())
-
         queue = list(range(len(requests)))
         live = 0
         it = 0
-        reset_pending = np.zeros((b,), bool)
-
-        def admit(slot: int, ridx: int):
-            nonlocal feat_buf, live
-            r = requests[ridx]
-            prompts[slot] = np.asarray(r.input_ids, np.int32)
-            cursor[slot] = 0
-            lengths[slot] = 0
-            phase[slot] = PROMPT
-            req_idx[slot] = ridx
-            stop_at[slot] = r.max_new_tokens or gen_cfg.max_new_tokens
-            reset_pending[slot] = True
-            live += 1
-            if r.pixel_values is not None:
-                pv = jnp.asarray(r.pixel_values)[None]
-                if r.qformer_input_ids is not None:
-                    qi = jnp.asarray(r.qformer_input_ids, jnp.int32)[None]
-                    qm = jnp.ones_like(qi, bool)
-                    feats = self._encode_fn(True)(params, pv, qi, qm)
-                else:
-                    feats = self._encode_fn(False)(params, pv)
-                feat_buf = self._set_row_fn()(feat_buf, slot, feats[0])
-                feat_pos[slot] = np.asarray(r.image_positions, np.int32)
-            else:
-                feat_pos[slot] = -1
 
         def finish(slot: int):
             nonlocal live
@@ -304,68 +407,92 @@ class ContinuousEngine:
             req_idx[slot] = -1
             live -= 1
 
-        def record(slot: int, tok: int) -> None:
-            """Append a sampled token; retire the slot on eos/budget."""
+        def record(slot: int, tok: int) -> bool:
+            """Append one sampled token; False when the slot retired."""
             if tok in eos:
                 finish(slot)
-                return
+                return False
             responses[req_idx[slot]].append(tok)
             if len(responses[req_idx[slot]]) >= stop_at[slot]:
                 finish(slot)
-                return
-            last_token[slot] = tok
-            phase[slot] = DECODE
+                return False
+            return True
 
         while queue or live:
+            # admit every free slot this round; same-bucket prompts share
+            # one batched prefill dispatch
+            admits: list[tuple[int, int]] = []
             for slot in range(b):
                 if phase[slot] == FREE and queue:
-                    admit(slot, queue.pop(0))
-            if (phase == PROMPT).any():
-                ids_chunk = np.zeros((b, chunk), np.int32)
-                chunk_lens = np.zeros((b,), np.int32)
-                for i in range(b):
-                    if phase[i] == PROMPT:
-                        seg = prompts[i][cursor[i] : cursor[i] + chunk]
-                        ids_chunk[i, : len(seg)] = seg
-                        chunk_lens[i] = len(seg)
-                    elif phase[i] == DECODE:
-                        ids_chunk[i, 0] = last_token[i]
-                        chunk_lens[i] = 1
-                cache, pending, next_token = self._chunk_fn()(
-                    params, cache, pending,
-                    jnp.asarray(ids_chunk), jnp.asarray(chunk_lens),
-                    jnp.asarray(lengths), feat_buf, jnp.asarray(feat_pos),
-                    jnp.asarray(reset_pending), jnp.int32(it), rng,
-                    self.adapters, self.lora_scale,
-                )
-                reset_pending[:] = False
-                toks = np.asarray(next_token)
-                for i in range(b):
-                    if phase[i] == PROMPT:
-                        take = int(chunk_lens[i])
-                        cursor[i] += take
-                        lengths[i] += take
-                        if cursor[i] == len(prompts[i]):
-                            # logits at the last prompt token sampled the
-                            # first response token in this same dispatch
-                            record(i, int(toks[i]))
-                    elif phase[i] == DECODE:
-                        lengths[i] += 1  # last_token's kv landed this step
-                        record(i, int(toks[i]))
-            else:
-                active = phase == DECODE
-                cache, pending, next_token = self._decode_fn()(
-                    params, cache, pending, jnp.asarray(lengths),
-                    jnp.asarray(last_token), jnp.asarray(active),
-                    jnp.int32(it), rng, self.adapters, self.lora_scale,
-                )
-                toks = np.asarray(next_token)
-                for i in range(b):
-                    if active[i]:
-                        lengths[i] += 1
-                        record(i, int(toks[i]))
+                    admits.append((slot, queue.pop(0)))
+            newly: set[int] = set()
+            if admits:
+                by_bucket: dict[tuple, list] = {}
+                for slot, ridx in admits:
+                    r = requests[ridx]
+                    lb = -(-len(r.input_ids)
+                           // self.prefill_chunk) * self.prefill_chunk
+                    # modality signature: a text-only row must never share a
+                    # prefill group with an image row (the group's pixel /
+                    # qformer / anyres layout follows its first request)
+                    key = (
+                        lb,
+                        r.pixel_values is not None,
+                        r.qformer_input_ids is not None,
+                        None if r.anyres_gather is None else (
+                            np.asarray(r.pixel_values).shape[0],
+                            len(r.anyres_gather),
+                        ),
+                    )
+                    by_bucket.setdefault(key, []).append((slot, ridx))
+                groups = []
+                g = self.max_prefill_group
+                for glist in by_bucket.values():
+                    groups.extend(
+                        glist[i : i + g] for i in range(0, len(glist), g)
+                    )
+                for group in groups:
+                    cache, pending, state, rng = self._admit_group(
+                        params, cache, pending, state, group, requests, rng
+                    )
+                    for slot, ridx in group:
+                        req_idx[slot] = ridx
+                        r = requests[ridx]
+                        stop_at[slot] = (
+                            r.max_new_tokens or gen_cfg.max_new_tokens
+                        )
+                        lengths[slot] = len(r.input_ids)
+                        phase[slot] = DECODE
+                        live += 1
+                        newly.add(slot)
+            if live == 0:
+                continue
+            exit_free = min(self.exit_free, len(queue), live)
+            cache, pending, state, rng, packed = self._burst_fn(exit_free)(
+                params, cache, pending, state, rng,
+                self.adapters, self.lora_scale,
+            )
+            packed = np.asarray(packed)  # the round's ONE device download
+            echo, toks = packed[:, 0], packed[:, 1:-1]
+            new_lengths = packed[:, -1]
+            for i in range(b):
+                if phase[i] != DECODE:
+                    continue
+                # a newly admitted slot's first token arrives as the echo
+                # (the admit dispatch downloads nothing)
+                if i in newly and not record(i, int(echo[i])):
+                    continue
+                # tokens sampled this burst == device length advance (the
+                # final one is eos when the device stopped early); counting
+                # by pad sentinel would misfire when pad is a real vocab id
+                n_adv = int(new_lengths[i]) - int(lengths[i])
+                for t in toks[i, :n_adv]:
+                    if not record(i, int(t)):
+                        break
+                if phase[i] == DECODE:
+                    lengths[i] = int(new_lengths[i])
             it += 1
-            if progress and it % 64 == 0:
+            if progress and it % 16 == 0:
                 done_n = len(requests) - len(queue) - live
-                print(f"  cb it={it} done={done_n}/{len(requests)}")
+                print(f"  cb burst={it} done={done_n}/{len(requests)}")
         return responses

@@ -303,7 +303,11 @@ class Generator:
         `cache_len` reserves extra slots (multi-turn sessions)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         l = batch["input_ids"].shape[1]
-        cache_len = cache_len or (l + self.gen_cfg.max_new_tokens)
+        if cache_len is None:
+            # 128-align derived lengths: the decode kernel wants exact
+            # 128-multiple S blocks (int8 scale blocks put block_s on
+            # lanes). Explicit cache_len (session budgets) stays verbatim.
+            cache_len = -(-(l + self.gen_cfg.max_new_tokens) // 128) * 128
         fn = self._fn(cache_len)
         cache, lengths, last_token, done, out = fn(
             params,

@@ -240,11 +240,16 @@ def decode_attention(
     while block_s > 128 and 2 * block_s * nkv * hd * itemsize > 6 * 2**20:
         block_s //= 2
     block_s = min(block_s, s_len)
-    if s_len % block_s:
-        # largest 8-aligned divisor of s_len (zero-copy requires exact
-        # blocks; the engine rounds cache lengths to multiples of 128)
+    if s_len % block_s or (quantized and block_s % 128 and block_s != s_len):
+        # largest aligned divisor of s_len (zero-copy requires exact
+        # blocks; the engine rounds cache lengths to multiples of 128).
+        # int8 caches: the (nkv, block_s) scale blocks put block_s on the
+        # LANES dim, so it must be a 128-multiple (or the full array).
+        step = 128 if quantized else 8
         block_s = next(
-            (c for c in range(min(block_s, s_len), 7, -8) if s_len % c == 0),
+            (c for c in range(min(block_s, s_len) // step * step, step - 1,
+                              -step)
+             if c and s_len % c == 0),
             0,
         )
         if not block_s:

@@ -68,3 +68,33 @@ def sft_flops_per_token(cfg, seq: int, train_mode: str = "adapter") -> float:
 def rm_flops_per_token(cfg, seq: int, train_mode: str = "adapter") -> float:
     # Same shape as SFT: one fwd+bwd over the [chosen; rejected] batch.
     return sft_flops_per_token(cfg, seq, train_mode)
+
+
+def ppo_flops_per_token(
+    cfg,
+    seq: int,
+    ppo_epochs: int = 4,
+    separate_value: bool = False,
+    train_mode: str = "adapter",
+) -> float:
+    """FLOPs per ROLLOUT-BATCH token of one full PPO outer step (stats +
+    ppo_epochs inner updates), for the PPO MetricsLogger's MFU (the rollout
+    generation itself is accounted separately by tokens generated).
+
+    stats pass: policy fwd (2N) + adapter-off ref fwd (2N) [+ value-adapter
+    trunk fwd 2N when the value function is a separate adapter — the
+    reference's use_value_adapter, base/model.py:72-100].
+    each inner epoch: policy fwd+bwd (4N adapter / 6N full) [+ value trunk
+    fwd+bwd when separate].
+    """
+    n_lm = lm_matmul_params(cfg.lm)
+    trunks = 3 if separate_value else 2
+    stats = trunks * 2 * n_lm + trunks * attention_flops_per_token(
+        cfg.lm, seq, fwd_bwd=False
+    )
+    per_epoch_trunks = 2 if separate_value else 1
+    epoch = per_epoch_trunks * (
+        _bwd_mult(train_mode) * n_lm
+        + attention_flops_per_token(cfg.lm, seq, fwd_bwd=True)
+    )
+    return stats + ppo_epochs * epoch
