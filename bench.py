@@ -353,8 +353,11 @@ def _measure_ppo_7b():
     import dataclasses
 
     cfg = FAMILIES["llava"].make_config()
+    # 'attn' remat + chunked logps: the PPO update pass at b=8 x L=672 with
+    # 'acts' remat + dense (B,L,V) logits compile-OOMs (18.4G > 15.75G on
+    # the chip) — same fitting margin story as the DPO bf16 headline
     cfg = dataclasses.replace(
-        cfg, lm=dataclasses.replace(cfg.lm, remat_policy="acts")
+        cfg, lm=dataclasses.replace(cfg.lm, remat_policy="attn")
     )
     params = jax.jit(
         lambda k: quantize_params(init_vlm_params(cfg, k), TRAIN_QUANT_PATTERNS)
@@ -371,7 +374,7 @@ def _measure_ppo_7b():
     ocfg = OptimizerConfig(learning_rate=1e-5, warmup_steps=1, total_steps=100)
     tx = make_optimizer(ocfg, trainable)
     state = init_train_state(trainable, tx)
-    ppo_cfg = PPOConfig(lora_scale=lcfg.scale)
+    ppo_cfg = PPOConfig(lora_scale=lcfg.scale, logits_chunk=256)
     stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
 
     b, n_new = 8, 64
