@@ -4,9 +4,11 @@
 # judge server + VLMEvalKit env for this flow (scripts/eval/mmbench.sh:25-35).
 #
 # Memory plan (proven by tools/judge_coresidency.py on the real chip):
-#   eval model  int8  ~7.0 GiB     judge model  int8  ~6.6 GiB
-#   eval cache  B=8   ~1.0 GiB     judge cache  B=16  ~1.0 GiB
-# --quantize applies int8 weights-only serving to BOTH loads.
+#   eval model  int8        7.0 GiB   judge model int8 (lm-only)  6.4 GiB
+#   eval cache  B=8 int8KV  1.4 GiB   judge cache B=8 int8KV      0.6 GiB
+# --quantize applies int8 weights to BOTH loads (the judge keeps only its
+# LM trunk — judging is text-only); --kv_cache_dtype int8 halves both
+# caches, which is what makes two 7B stacks fit 15.75 GiB at all.
 set -e
 CKPT=${CKPT:-/ckpts/llava-1.5-7b-hf}
 JUDGE=${JUDGE:-/ckpts/vicuna-7b-v1.5}
@@ -18,6 +20,7 @@ python -m vlrlhf_tpu.cli.main eval \
   --image_root "$DATA_ROOT" \
   --judge_model_path "$JUDGE" \
   --quantize true \
+  --kv_cache_dtype int8 \
   --per_device_train_batch_size 8 \
   --output_dir out/eval/mmbench_judged \
   --tag "$(basename "$CKPT")-judged" "$@"

@@ -80,22 +80,18 @@ def test_lm_decode_matches_lm_forward_cached_path():
     b, prompt_len, cache_len = 2, 8, 24
     ids = jax.random.randint(jax.random.PRNGKey(1), (b, prompt_len), 0, 64)
 
-    # prefill via lm_forward (engine layout), transpose to decode layout
+    # prefill via lm_forward — writes the head-major decode layout directly
     cache = {
-        "k": jnp.zeros((2, b, cache_len, 2, 8), jnp.float32),
-        "v": jnp.zeros((2, b, cache_len, 2, 8), jnp.float32),
+        "k": jnp.zeros((2, b, 2, cache_len, 8), jnp.float32),
+        "v": jnp.zeros((2, b, 2, cache_len, 8), jnp.float32),
     }
     kv_mask = jnp.arange(cache_len)[None] < prompt_len
-    logits, cache = lm_forward(
+    logits, dec_cache = lm_forward(
         cfg, params, input_ids=ids,
         positions=jnp.broadcast_to(jnp.arange(prompt_len)[None], (b, prompt_len)),
         pad_mask=jnp.ones((b, prompt_len), bool),
         cache=cache, kv_mask=jnp.broadcast_to(kv_mask, (b, cache_len)),
     )
-    dec_cache = {
-        "k": jnp.transpose(cache["k"], (0, 1, 3, 2, 4)),
-        "v": jnp.transpose(cache["v"], (0, 1, 3, 2, 4)),
-    }
     tok = jnp.argmax(logits[:, prompt_len - 1], -1)
     lengths = jnp.full((b,), prompt_len, jnp.int32)
     pending = None
@@ -207,8 +203,8 @@ def test_lm_decode_int8_cache_close_to_bf16():
     b, prompt_len, cache_len = 2, 8, 24
     ids = jax.random.randint(jax.random.PRNGKey(1), (b, prompt_len), 0, 64)
     cache = {
-        "k": jnp.zeros((2, b, cache_len, 2, 8), jnp.float32),
-        "v": jnp.zeros((2, b, cache_len, 2, 8), jnp.float32),
+        "k": jnp.zeros((2, b, 2, cache_len, 8), jnp.float32),
+        "v": jnp.zeros((2, b, 2, cache_len, 8), jnp.float32),
     }
     kv_mask = jnp.arange(cache_len)[None] < prompt_len
     logits, cache = lm_forward(
@@ -217,11 +213,9 @@ def test_lm_decode_int8_cache_close_to_bf16():
         pad_mask=jnp.ones((b, prompt_len), bool),
         cache=cache, kv_mask=jnp.broadcast_to(kv_mask, (b, cache_len)),
     )
-    kt = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
-    vt = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
-    bf16_cache = {"k": kt, "v": vt}
-    kq, ksc = quantize_kv(kt)
-    vq, vsc = quantize_kv(vt)
+    bf16_cache = {"k": cache["k"], "v": cache["v"]}
+    kq, ksc = quantize_kv(cache["k"])
+    vq, vsc = quantize_kv(cache["v"])
     q_cache = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
 
     tok = jnp.argmax(logits[:, prompt_len - 1], -1)

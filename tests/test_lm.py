@@ -52,8 +52,8 @@ def test_kv_cache_matches_full_forward():
 
     smax = 24
     cache = {
-        "k": jnp.zeros((TINY.num_layers, b, smax, TINY.num_kv_heads, TINY.head_dim_)),
-        "v": jnp.zeros((TINY.num_layers, b, smax, TINY.num_kv_heads, TINY.head_dim_)),
+        "k": jnp.zeros((TINY.num_layers, b, TINY.num_kv_heads, smax, TINY.head_dim_)),
+        "v": jnp.zeros((TINY.num_layers, b, TINY.num_kv_heads, smax, TINY.head_dim_)),
     }
     prefill = 10
     pos = jnp.broadcast_to(jnp.arange(prefill)[None], (b, prefill))

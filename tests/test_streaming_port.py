@@ -99,6 +99,55 @@ def test_lazy_reads_are_per_tensor(tmp_path):
     np.testing.assert_array_equal(one, sd["model.norm.weight"])
 
 
+def test_quantize_during_port_matches_post_quantize(tmp_path):
+    """port_quantize (host per-layer int8 before transfer) must produce the
+    same tree as port-then-quantize_params on device: identical structure,
+    bitwise-equal bf16 scales (amax/127 is deterministic), and int8 codes
+    equal up to ±1 on exact round-half ties — XLA may rewrite kf/scale as
+    kf*(1/scale), a 1-ulp quotient difference that flips banker's rounding
+    on values landing exactly on .5. A ±1 code is a ≤1-scale-step weight
+    difference, within int8 quantization error by construction.
+    This is the load path that fits a 7B judge next to a resident eval model
+    (cli/loading.py load_model_bundle quantize_patterns)."""
+    import jax
+
+    from vlrlhf_tpu.ops.quant import DEFAULT_QUANT_PATTERNS, quantize_params
+
+    sd = _llama_sd()
+    _write_shards(sd, tmp_path)
+    lazy = hf_port.open_hf_state_dict(str(tmp_path))
+
+    with hf_port.port_dtype(jnp.bfloat16), hf_port.port_quantize(
+        DEFAULT_QUANT_PATTERNS
+    ):
+        streamed = {"lm": hf_port.port_llama_lm(lazy, 2)}
+    # the loader's post-pass picks up non-stacked matches (lm_head)
+    streamed = jax.jit(
+        lambda p: quantize_params(p, DEFAULT_QUANT_PATTERNS)
+    )(streamed)
+
+    with hf_port.port_dtype(jnp.bfloat16):
+        dense = {"lm": hf_port.port_llama_lm(sd, 2)}
+    want = jax.jit(
+        lambda p: quantize_params(p, DEFAULT_QUANT_PATTERNS)
+    )(dense)
+
+    assert jax.tree.structure(streamed) == jax.tree.structure(want)
+    stack = streamed["lm"]["layers_scanned"]
+    assert stack["attn"]["wq"]["kernel_q"].dtype == jnp.int8
+    assert streamed["lm"]["lm_head"]["kernel_q"].dtype == jnp.int8
+    sl, wl = jax.tree.leaves(streamed), jax.tree.leaves(want)
+    for a, b in zip(sl, wl):
+        af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        if getattr(a, "dtype", None) == jnp.int8:
+            diff = np.abs(af - bf)
+            assert diff.max() <= 1, diff.max()
+            # ties are rare: well under 1% of codes may straddle .5
+            assert (diff > 0).mean() < 0.01, (diff > 0).mean()
+        else:
+            np.testing.assert_array_equal(af, bf)
+
+
 _RSS_WORKER = r"""
 import json, os, resource, sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

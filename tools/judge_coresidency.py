@@ -2,21 +2,26 @@
 
 VERDICT r2 weak item 6: EngineJudge loads the judge model in-process next to
 the eval model (eval/judge.py); two 7B models fit one v5e only with int8 on
-both. This tool DEMONSTRATES the fitting config end to end on the real chip:
+both. This tool DEMONSTRATES the fitting config end to end on the real chip
+(measured budget, 15.75 GiB HBM − 0.26 reserved ≈ 15.5 usable):
 
-  eval model : llava-7B geometry, int8 weights (~7.0 GiB)
-  judge model: 7B LM-only geometry, int8 weights (~6.6 GiB)
-  caches     : eval B=8 x 1024 slots bf16 (1.0 GiB),
-               judge B=16 x 512 text slots bf16 (1.0 GiB)
-  headroom   : ~0.5 GiB for activations/logits at B<=16
+  eval model : llava-7B VLM, int8 weights            7.01 GiB (measured)
+  judge model: the LM trunk only, int8               6.40 GiB (judging is
+               text-only — the CLI drops the judge's vision/projector)
+  eval cache : B=8 x 640 slots, int8 KV + scales     1.42 GiB
+  judge cache: B=8 x 256 text slots, int8 KV         0.57 GiB
+  headroom   : ~0.1 GiB + freed-between-dispatch activation transients
+
+bf16 KV at these shapes would be 5.9 GiB (the MHA llama cache is 32 kv
+heads x 128) — int8 KV is what makes co-residency possible at all.
 
 Smoke: batched eval generation -> choice-extraction judging of the decoded
 responses through the judge engine — the exact MMBench/SEED-gen flow
 (eval/judge.py judge_unresolved). Prints per-phase device memory stats.
 
 The matching CLI recipe is recipes/eval/eval_mmbench_judge_1v5e.sh:
-  --q_lora true on BOTH --model and --judge_model_path loads (the eval CLI
-  quantizes each model at load when q_lora is set).
+  --quantize true + --kv_cache_dtype int8 (applied to BOTH the eval model
+  and the judge load; the judge keeps only params['lm']).
 
 Usage: python tools/judge_coresidency.py
 """
@@ -31,39 +36,88 @@ import numpy as np
 from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
 from vlrlhf_tpu.models.registry import FAMILIES
 from vlrlhf_tpu.models.vlm import init_vlm_params
-from vlrlhf_tpu.ops.quant import quantize_params
+from vlrlhf_tpu.ops.quant import (
+    DEFAULT_QUANT_PATTERNS,
+    SERVE_QUANT_PATTERNS_WIDE,
+    quantize_params,
+)
 
 
 def mem(tag):
+    s = None
     try:
         s = jax.local_devices()[0].memory_stats()
+    except Exception:  # noqa: BLE001 — not all PJRT plugins implement it
+        pass
+    if s:
         used = s.get("bytes_in_use", 0) / 2**30
         peak = s.get("peak_bytes_in_use", 0) / 2**30
         print(f"  [{tag}] in_use={used:.2f} GiB peak={peak:.2f} GiB")
-    except Exception as e:  # noqa: BLE001
-        print(f"  [{tag}] memory_stats unavailable: {e}")
+    else:
+        # axon tunnel: no memory_stats — account live arrays instead
+        # (transient activation peaks not visible, but weights/caches are)
+        live = sum(x.nbytes for x in jax.live_arrays()) / 2**30
+        print(f"  [{tag}] live_arrays={live:.2f} GiB (memory_stats n/a)")
+
+
+def _init_quantized(cfg, key, patterns, lm_only=False):
+    """Init a model DIRECTLY at its quantized dtypes — every leaf is born
+    int8/bf16 at its final shape inside one jit, so the device transient is
+    the final tree, NOT a full bf16 model (13.2 GiB at 7B) that then
+    quantizes. This mirrors the production path exactly: load_model_bundle
+    quantize-during-port streams int8 layers to device and never
+    materializes the bf16 stack (utils/hf_port.port_quantize) — which is
+    the only way a second 7B loads next to a resident one.
+
+    Synthetic values (random int8 codes, constant scales/norm weights):
+    co-residency is a MEMORY and THROUGHPUT demonstration; timings on TPU
+    are data-independent."""
+    shapes = jax.eval_shape(
+        lambda k: quantize_params(
+            {"lm": init_vlm_params(cfg, k)["lm"]}
+            if lm_only
+            else init_vlm_params(cfg, k),
+            patterns,
+        ),
+        key,
+    )
+
+    def one(i, s):
+        if s.dtype == jnp.int8:
+            return jax.random.randint(
+                jax.random.fold_in(key, i), s.shape, -16, 17, jnp.int32
+            ).astype(jnp.int8)
+        return jnp.full(s.shape, 0.0157, s.dtype)  # ~2/127: sane magnitudes
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    init = jax.jit(
+        lambda: treedef.unflatten(
+            [one(i, s) for i, s in enumerate(leaves)]
+        )
+    )
+    return init()
 
 
 def main():
     assert jax.default_backend() == "tpu"
     # ---- eval model: llava-7B VLM, int8 ----
     cfg_eval = FAMILIES["llava"].make_config()
-    params_eval = jax.jit(
-        lambda k: quantize_params(init_vlm_params(cfg_eval, k))
-    )(jax.random.PRNGKey(0))
+    params_eval = _init_quantized(
+        cfg_eval, jax.random.PRNGKey(0), SERVE_QUANT_PATTERNS_WIDE
+    )
     jax.block_until_ready(params_eval)
-    mem("eval model loaded (int8)")
+    mem("eval model loaded (int8 wide)")
 
-    # ---- judge model: a second full 7B stack, int8 (text-only serving —
-    # the judge never sees images, so its vision tower is dead weight; a
-    # REAL deployment can drop it, here we load the full VLM to prove the
-    # worst case fits) ----
+    # ---- judge model: a second 7B LM trunk, int8. Judging is text-only,
+    # so the CLI drops the judge's vision/projector at load (cli/main.py
+    # cmd_eval) — mirrored here: only params["lm"] is ever built ----
     cfg_judge = FAMILIES["llava"].make_config()
-    params_judge = jax.jit(
-        lambda k: quantize_params(init_vlm_params(cfg_judge, k))
-    )(jax.random.PRNGKey(1))
+    params_judge = _init_quantized(
+        cfg_judge, jax.random.PRNGKey(1), DEFAULT_QUANT_PATTERNS,
+        lm_only=True,
+    )
     jax.block_until_ready(params_judge)
-    mem("judge model loaded (int8)")
+    mem("judge model loaded (int8, lm-only)")
 
     # ---- eval generation pass ----
     b, n_img, text = 8, cfg_eval.num_image_tokens, 32
@@ -84,7 +138,8 @@ def main():
         "image_positions": np.asarray(pos),
     }
     gen_eval = Generator(
-        cfg_eval, GenerateConfig(max_new_tokens=32, pad_token_id=0)
+        cfg_eval, GenerateConfig(max_new_tokens=32, pad_token_id=0,
+                                 kv_cache_dtype="int8")
     )
     t0 = time.perf_counter()
     toks = gen_eval(params_eval, eval_batch)
@@ -94,7 +149,7 @@ def main():
     mem("after eval generation")
 
     # ---- judge pass over the responses (text-only prompts) ----
-    jb, jl = 16, 256
+    jb, jl = 8, 248  # 248 + 8 new -> a 256-slot cache (128-aligned)
     jids = rng.integers(5, 30000, (jb, jl)).astype(np.int32)
     judge_batch = {
         "input_ids": jids,
@@ -104,7 +159,8 @@ def main():
         "image_positions": None,
     }
     gen_judge = Generator(
-        cfg_judge, GenerateConfig(max_new_tokens=8, pad_token_id=0)
+        cfg_judge, GenerateConfig(max_new_tokens=8, pad_token_id=0,
+                                  kv_cache_dtype="int8")
     )
     t0 = time.perf_counter()
     jt = gen_judge(params_judge, judge_batch)

@@ -188,27 +188,54 @@ def load_model_bundle(
     dtype=jnp.bfloat16,
     max_length: int = 1024,
     max_prompt_length: int = 512,
+    quantize_patterns: Optional[tuple] = None,
 ):
     """Full production load: config + weights + tokenizer + processor.
 
     Streaming port: tensors are read one at a time from the safetensors
     shards (mmap), transformed on host, cast to the target dtype, and put to
     device — host RSS stays ~one tensor, device never holds a full-precision
-    twin (utils/hf_port.LazyStateDict + port_dtype)."""
+    twin (utils/hf_port.LazyStateDict + port_dtype).
+
+    quantize_patterns (ops/quant pattern tuple): int8-quantize matching
+    linears DURING the port — stacked decoder layers quantize host-side per
+    layer before transfer, so the device transient of a 7B load is the int8
+    stack (~6.6 GiB), never the bf16 model (~13.2 GiB). The remaining
+    (non-stacked) matches are quantized by one cheap jit pass after the
+    port. Equivalent output to port-then-quantize_params
+    (tests/test_streaming_port.py)."""
+    import contextlib
+
     from vlrlhf_tpu.utils.hf_port import (
         PORTERS,
         cast_tree,
         open_hf_state_dict,
         port_dtype,
+        port_quantize,
     )
 
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
     family, cfg = config_from_hf(hf, dtype)
     sd = open_hf_state_dict(path)
-    with port_dtype(dtype):
+    qctx = (
+        port_quantize(quantize_patterns)
+        if quantize_patterns
+        else contextlib.nullcontext()
+    )
+    with port_dtype(dtype), qctx:
         params = PORTERS[family.name](sd, cfg)
     params = cast_tree(params, dtype)  # no-op pass for already-cast leaves
+    if quantize_patterns:
+        import jax
+
+        from vlrlhf_tpu.ops.quant import quantize_params
+
+        # lm_head / projector (non-stacked) matches; already-quantized
+        # stacks pass through untouched ("kernel_q" dicts are not linears)
+        params = jax.jit(
+            lambda p: quantize_params(p, quantize_patterns), donate_argnums=0
+        )(params)
     tokenizer = HFTokenizer.from_pretrained(path, trust_remote_code=True)
     overrides: dict = dict(
         max_length=max_length, max_prompt_length=max_prompt_length

@@ -148,9 +148,27 @@ def _load_bundle(args):
         from vlrlhf_tpu.cli.loading import load_model_bundle
 
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        # Quantize DURING the streaming port when the run will quantize
+        # anyway (QLoRA training / int8 serving): the stacked decoder
+        # quantizes host-side per layer, so the load's device transient is
+        # the int8 stack, never the full bf16 model — required to load a
+        # judge next to a resident eval model (VERDICT r2 item 8), and
+        # halves single-model load peaks too. The downstream
+        # quantize_params jits are no-ops on already-quantized trees.
+        qpats = None
+        from vlrlhf_tpu.ops import quant as _q
+
+        if getattr(args, "quantize", False):
+            qpats = (_q.SERVE_QUANT_PATTERNS_WIDE
+                     if getattr(args, "judge_model_path", "")
+                     else _q.DEFAULT_QUANT_PATTERNS)
+        elif getattr(args, "q_lora", False) and getattr(args, "use_lora", True):
+            qpats = (_q.TRAIN_QUANT_PATTERNS_WIDE
+                     if getattr(args, "q_lora_vision", False)
+                     else _q.TRAIN_QUANT_PATTERNS)
         bundle = load_model_bundle(
             args.model_name_or_path, dtype, args.max_length,
-            args.max_prompt_length,
+            args.max_prompt_length, quantize_patterns=qpats,
         )
     lm_overrides = {}
     if getattr(args, "sequence_parallel_axis", ""):
@@ -920,9 +938,19 @@ def cmd_eval(args):
     if args.quantize:
         # Weights-only int8 serving (incl. lm_head): decode is HBM-bandwidth
         # bound, int8 kernels measured ~1.5x decode throughput on v5e.
-        from vlrlhf_tpu.ops.quant import quantize_params
+        # With a co-resident judge, widen to the vision tower + projector
+        # too — the extra ~0.3 GiB is the two-stacks-on-one-chip margin.
+        from vlrlhf_tpu.ops.quant import (
+            DEFAULT_QUANT_PATTERNS,
+            SERVE_QUANT_PATTERNS_WIDE,
+            quantize_params,
+        )
 
-        params = jax.jit(quantize_params, donate_argnums=0)(params)
+        pats = (SERVE_QUANT_PATTERNS_WIDE if args.judge_model_path
+                else DEFAULT_QUANT_PATTERNS)
+        params = jax.jit(
+            lambda p: quantize_params(p, pats), donate_argnums=0
+        )(params)
     stop_ids = tuple(
         processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
     ) if family.stop_tokens and not args.synthetic else ()
@@ -961,23 +989,29 @@ def cmd_eval(args):
         from vlrlhf_tpu.cli.loading import load_model_bundle
         from vlrlhf_tpu.eval.judge import EngineJudge
 
+        # co-residency on one 16 GiB chip: two 7B stacks fit only with int8
+        # weights AND int8 KV on both, and the judge must quantize DURING
+        # its port — a bf16 judge transient next to the resident eval model
+        # OOMs (tools/judge_coresidency.py proves the memory plan;
+        # recipes/eval/eval_mmbench_judge_1v5e.sh is the recipe)
+        from vlrlhf_tpu.ops.quant import DEFAULT_QUANT_PATTERNS as _JPATS
+
         jfam, jcfg, jparams, jproc = load_model_bundle(
             args.judge_model_path,
             jnp.bfloat16 if args.bf16 else jnp.float32,
             args.max_length, args.max_prompt_length,
+            quantize_patterns=_JPATS if args.quantize else None,
         )
-        if args.quantize:
-            # co-residency on one 16 GiB chip: two 7B stacks fit only with
-            # int8 on BOTH (tools/judge_coresidency.py proves the plan;
-            # recipes/eval/eval_mmbench_judge_1v5e.sh is the recipe)
-            from vlrlhf_tpu.ops.quant import quantize_params as _qp
-
-            jparams = jax.jit(_qp, donate_argnums=0)(jparams)
+        # Judging is text-only (questions + decoded answers): the judge's
+        # vision tower / projector never run — drop them (~0.6 GiB at 7B;
+        # co-residency on one 16 GiB chip needs every GiB).
+        jparams = {"lm": jparams["lm"]}
         judge_runner = EvalRunner(
             model_cfg=jcfg, params=jparams, processor=jproc,
             gen_cfg=GenerateConfig(
                 max_new_tokens=4,
                 pad_token_id=jproc.tokenizer.pad_token_id or 0,
+                kv_cache_dtype=args.kv_cache_dtype,
             ),
             collator_cfg=CollatorConfig(
                 pad_token_id=jproc.tokenizer.pad_token_id or 0,

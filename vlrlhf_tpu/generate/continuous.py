@@ -205,8 +205,8 @@ class ContinuousEngine:
         # queue-empty tail ONE dispatch)
         max_prefill_group: int = 2,  # scratch-cache memory cap: at 7B on a
         # 16 GiB chip with a bf16 cache there is room for ~2 slot-rows of
-        # prefill scratch (+ its layout-transpose transient); an int8 KV
-        # cache affords 4-8
+        # prefill scratch (born head-major inside the prefill scan — no
+        # relayout transient); an int8 KV cache affords 4-8
         exit_free: int = 2,  # burst-exit threshold: wait for this many
         # finishes before paying a host turnaround (see _cb_burst_impl)
         adapters: Optional[PyTree] = None,

@@ -74,27 +74,21 @@ def _generate_impl(
 ):
     b, l = input_ids.shape
     ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
-    lm = model_cfg.lm
-    nkv, hd = lm.num_kv_heads, lm.head_dim_
     int8_cache = gen_cfg.kv_cache_dtype == "int8"
-    kv_dt = jnp.int8 if int8_cache else lm.dtype
-    cache = {
-        "k": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), kv_dt),
-        "v": jnp.zeros((lm.num_layers, b, cache_len, nkv, hd), kv_dt),
-    }
-    if int8_cache:
-        # per-vector scales; prefill quantizes at WRITE time so the bf16
-        # cache never materializes (models/lm/llama.py:_attention_block)
-        cache["k_scale"] = jnp.zeros(
-            (lm.num_layers, b, cache_len, nkv), jnp.bfloat16
-        )
-        cache["v_scale"] = jnp.zeros(
-            (lm.num_layers, b, cache_len, nkv), jnp.bfloat16
-        )
+    # EMPTY-PREFILL mode: no input cache at all — each scan layer builds its
+    # head-major (B, nkv, Sc, hd) cache as pad(transpose(chunk k/v)), int8-
+    # quantized before the pad when configured, and the scan stacks the
+    # outputs into the ONE live (L, B, nkv, Sc, hd) decode cache. The old
+    # shape (preallocated zeros in, stacked ys out, then a transpose to
+    # head-major) kept up to 3 cache-sized buffers alive at peak. Relies on
+    # the right-padded contract: KV slot == position (positions = arange).
     positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
-    kv_mask = jnp.arange(cache_len)[None, :] < prompt_lens[:, None]
 
-    logits, cache = vlm_forward(
+    # Prefill needs only the LAST prompt position's logits: gather the
+    # hidden state first, then apply the head to (B, 1, H). The dense
+    # (B, S, V) head costs S x the FLOPs (1.3 TFLOP at B=8 S=608 for 32k
+    # vocab) and a ~1.2 GiB buffer that OOMed judge co-residency.
+    hidden, cache = vlm_forward(
         model_cfg,
         params,
         input_ids=input_ids,
@@ -106,12 +100,16 @@ def _generate_impl(
         pad_mask=pad_mask,
         positions=positions,
         ctx=ctx,
-        cache=cache,
-        kv_mask=kv_mask,
+        cache_len=cache_len,
+        kv_cache_dtype=jnp.int8 if int8_cache else None,
+        return_logits=False,
     )
-    last_logits = jnp.take_along_axis(
-        logits, (prompt_lens - 1)[:, None, None], axis=1
-    )[:, 0]
+    from vlrlhf_tpu.models.vlm import lm_head_fn
+
+    last_h = jnp.take_along_axis(
+        hidden, (prompt_lens - 1)[:, None, None], axis=1
+    )  # (B, 1, H)
+    last_logits = lm_head_fn(model_cfg, params, ctx)(last_h)[:, 0]
     rng, krng = jax.random.split(rng)
     first_token = sample_tokens(
         last_logits,
@@ -126,17 +124,9 @@ def _generate_impl(
 
     out0 = jnp.full((b, gen_cfg.max_new_tokens), gen_cfg.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(jnp.where(done0, gen_cfg.pad_token_id, first_token))
-    # Transpose the prefill cache (L, B, Sc, nkv, hd) to the head-major
-    # DECODE layout (L, B, nkv, Sc, hd) — once per generation call; the
-    # decode-attention kernel then reads contiguous (Sc, hd) stripes.
-    new_cache = {
-        "k": jnp.transpose(cache["k"], (0, 1, 3, 2, 4)),
-        "v": jnp.transpose(cache["v"], (0, 1, 3, 2, 4)),
-    }
-    if int8_cache:
-        new_cache["k_scale"] = jnp.transpose(cache["k_scale"], (0, 1, 3, 2))
-        new_cache["v_scale"] = jnp.transpose(cache["v_scale"], (0, 1, 3, 2))
-    return new_cache, prompt_lens, first_token, done0, out0
+    # cache is already head-major (L, B, nkv, Sc, hd): the decode-attention
+    # kernel reads contiguous (Sc, hd) stripes with no relayout.
+    return cache, prompt_lens, first_token, done0, out0
 
 
 def _empty_pending(lm, b: int, cache_len: int) -> dict:
@@ -400,7 +390,7 @@ def _extend_impl(
 
     ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
     b = new_ids.shape[0]
-    logits, cache, lengths = lm_prefill_chunk(
+    last_logits, cache, lengths = lm_prefill_chunk(
         model_cfg.lm,
         params["lm"],
         input_ids=new_ids,
@@ -410,9 +400,6 @@ def _extend_impl(
         ctx=ctx.sub("lm"),
         pending=pending,
     )
-    last_logits = jnp.take_along_axis(
-        logits, (chunk_lens - 1)[:, None, None], axis=1
-    )[:, 0]
     rng, krng = jax.random.split(rng)
     first_token = sample_tokens(
         last_logits, krng, temperature=gen_cfg.temperature,

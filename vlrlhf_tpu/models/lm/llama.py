@@ -139,6 +139,10 @@ def _attention_block(
     positions: jax.Array,
     cache_kv: Optional[tuple],  # (ck, cv[, k_scale, v_scale])
     kv_mask: Optional[jax.Array],
+    empty_cache_len: Optional[int] = None,  # build this layer's cache from
+    # scratch (engine prefill): requires positions[b, i] == i (the engine's
+    # right-padded contract, KV slot == position)
+    quantize_cache: bool = False,  # with empty_cache_len: int8 KV + scales
 ):
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -153,27 +157,63 @@ def _attention_block(
     ).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
-    if cache_kv is not None:
-        # Write current k/v at `positions` slots (quantizing per vector when
-        # the cache is int8 — the bf16 cache never materializes, which is
-        # what lets a 7B long-context prefill fit on a 16 GiB chip).
+    if empty_cache_len is not None:
+        # EMPTY-PREFILL (engine generation start): the cache is all-new and
+        # slot == position (right-padded prompts, positions == arange), so
+        # this layer's head-major (B, nkv, Sc, hd) cache is just the chunk's
+        # k/v transposed and zero-padded to Sc — ONE fused pad per tensor,
+        # no zeros slab + scatter (a (hd,)-granular scatter measured ~4%
+        # off serving throughput) and no full-cache relayout afterwards
+        # (the old transpose's 1.5x-cache transient OOMed judge
+        # co-residency at 7B). Quantization happens before the pad when the
+        # cache is int8 — the bf16 cache never materializes.
+        pad = [(0, 0), (0, 0), (0, empty_cache_len - s), (0, 0)]
+        kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, nkv, S, hd)
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        ks = vs = None
+        if quantize_cache:
+            from vlrlhf_tpu.ops.quant import quantize_kv
+
+            kq, ksc = quantize_kv(kt)  # int8 codes, (B, nkv, S) scales
+            vq, vsc = quantize_kv(vt)
+            ck, cv = jnp.pad(kq, pad), jnp.pad(vq, pad)
+            ks, vs = jnp.pad(ksc, pad[:3]), jnp.pad(vsc, pad[:3])
+        else:
+            ck = jnp.pad(kt.astype(cfg.dtype), pad)
+            cv = jnp.pad(vt.astype(cfg.dtype), pad)
+        out = multi_head_attention(
+            q, k, v, causal=True,
+            pad_mask_q=pad_mask, pad_mask_kv=pad_mask,
+            impl=ctx.attn_impl,
+        )
+        new_cache = (ck, cv, ks, vs)
+    elif cache_kv is not None:
+        # Write current k/v at `positions` slots in the HEAD-MAJOR decode
+        # layout (B, nkv, Sc, hd) — prefill-into-existing-cache path.
+        # Quantization happens per vector at write time when the cache is
+        # int8 — the bf16 cache never materializes, which is what lets a 7B
+        # long-context prefill fit on a 16 GiB chip.
         ck, cv = cache_kv[0], cache_kv[1]
         ks = vs = None
         if len(cache_kv) == 4 and cache_kv[2] is not None:
             from vlrlhf_tpu.ops.quant import quantize_kv
 
-            ks, vs = cache_kv[2], cache_kv[3]  # (B, Sc, nkv)
-        batch_idx = jnp.arange(b)[:, None]
+            ks, vs = cache_kv[2], cache_kv[3]  # (B, nkv, Sc)
+        bi3 = jnp.arange(b)[:, None, None]
+        hi3 = jnp.arange(nkv)[None, :, None]
+        pos3 = positions[:, None, :]  # (B, 1, S)
+        kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, nkv, S, hd)
+        vt = jnp.transpose(v, (0, 2, 1, 3))
         if ks is not None:
-            kq, ksc = quantize_kv(k)  # (B, S, nkv, hd) int8, (B, S, nkv)
-            vq, vsc = quantize_kv(v)
-            ck = ck.at[batch_idx, positions].set(kq)
-            cv = cv.at[batch_idx, positions].set(vq)
-            ks = ks.at[batch_idx, positions].set(ksc)
-            vs = vs.at[batch_idx, positions].set(vsc)
+            kq, ksc = quantize_kv(kt)  # (B, nkv, S, hd) int8, (B, nkv, S)
+            vq, vsc = quantize_kv(vt)
+            ck = ck.at[bi3, hi3, pos3].set(kq)
+            cv = cv.at[bi3, hi3, pos3].set(vq)
+            ks = ks.at[bi3, hi3, pos3].set(ksc)
+            vs = vs.at[bi3, hi3, pos3].set(vsc)
         else:
-            ck = ck.at[batch_idx, positions].set(k.astype(ck.dtype))
-            cv = cv.at[batch_idx, positions].set(v.astype(cv.dtype))
+            ck = ck.at[bi3, hi3, pos3].set(kt.astype(ck.dtype))
+            cv = cv.at[bi3, hi3, pos3].set(vt.astype(cv.dtype))
         if s > 1:
             # PREFILL: the cache holds nothing before this chunk, so chunk-
             # local causal attention == attention over the cache — use the
@@ -194,7 +234,11 @@ def _attention_block(
                 cvf = (
                     cv.astype(jnp.float32) * vs[..., None].astype(jnp.float32)
                 ).astype(x.dtype)
-            sc = ck.shape[1]
+            # head-major (B, nkv, Sc, hd) -> (B, Sc, nkv, hd) for the dense
+            # reference attention below (legacy path, clarity over speed)
+            ckf = jnp.transpose(ckf, (0, 2, 1, 3))
+            cvf = jnp.transpose(cvf, (0, 2, 1, 3))
+            sc = ck.shape[2]
             slots = jnp.arange(sc)[None, None, :]  # (1, 1, Sc)
             attend = slots <= positions[:, :, None]
             if kv_mask is not None:
@@ -389,7 +433,8 @@ def lm_prefill_chunk(
     chunks are short next to the cache, so the (B, H, C, Sc) scores are
     affordable; a Pallas chunk kernel is a later optimization).
 
-    Returns (logits (B, C, V), new_cache, new_lengths)."""
+    Returns (last_logits (B, V) — the chunk's last real position's logits,
+    the only ones a serving turn samples from — new_cache, new_lengths)."""
     ctx = ctx or Ctx()
     b, c = input_ids.shape
     sc = cache["k"].shape[3]
@@ -496,6 +541,12 @@ def lm_prefill_chunk(
         x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
 
     hidden = rms_norm(x, params["norm"]["weight"], cfg.rms_eps)
+    # Only the chunk's LAST real position seeds the next sampled token —
+    # gather it before the head ((B, 1, H) @ (H, V) instead of a (B, C, V)
+    # buffer + C x the head FLOPs).
+    hidden = jnp.take_along_axis(
+        hidden, (chunk_lens - 1)[:, None, None], axis=1
+    )
     if cfg.tie_embeddings:
         logits = hidden @ params["embed_tokens"]["embedding"].astype(
             hidden.dtype
@@ -505,7 +556,7 @@ def lm_prefill_chunk(
     new_cache = {"k": ck_all, "v": cv_all}
     if quantized_cache:
         new_cache["k_scale"], new_cache["v_scale"] = ks_all, vs_all
-    return logits, new_cache, lengths + chunk_lens
+    return logits[:, 0], new_cache, lengths + chunk_lens
 
 
 def lm_forward(
@@ -518,8 +569,17 @@ def lm_forward(
     pad_mask: Optional[jax.Array] = None,  # (B, S)
     segment_ids: Optional[jax.Array] = None,
     ctx: Optional[Ctx] = None,
-    cache: Optional[dict] = None,  # {"k": (L,B,Sc,nkv,hd), "v": ...}
+    cache: Optional[dict] = None,  # {"k": (L,B,nkv,Sc,hd), ...} head-major
+    # DECODE layout — prefill writes it directly (no post-hoc transpose)
     kv_mask: Optional[jax.Array] = None,  # (B, Sc)
+    cache_len: Optional[int] = None,  # prefill-from-EMPTY: each layer builds
+    # its cache inside the scan body as pad(transpose(chunk k/v)) — no
+    # zeros slab, no scatter — so only the STACKED output cache is ever
+    # live. Passing a concrete zeros cache as scan xs keeps input AND
+    # output alive (2x cache HBM at peak; the difference between fitting
+    # and OOM for judge co-residency at 7B). Requires the engine's
+    # right-padded contract: positions[b, i] == i (KV slot == position).
+    kv_cache_dtype=None,  # jnp.int8 -> quantized KV (with per-vector scales)
     return_logits: bool = True,
     return_hidden: bool = False,
 ):
@@ -530,10 +590,16 @@ def lm_forward(
     b, s, _ = inputs_embeds.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-    seq_len = cache["k"].shape[2] if cache is not None else s
+    if cache_len is not None:
+        assert cache is None, "cache_len is the empty-prefill mode"
+        seq_len = cache_len
+    else:
+        seq_len = cache["k"].shape[3] if cache is not None else s  # Sc
     cos, sin = rope_frequencies(cfg.rope, positions, seq_len=seq_len)
 
     layer_ctx = ctx.sub("layers_scanned")
+
+    quant_kv = kv_cache_dtype is not None and kv_cache_dtype == jnp.int8
 
     def body(carry, xs):
         x = carry
@@ -560,6 +626,8 @@ def lm_forward(
             positions,
             (ck, cv, cks, cvs) if ck is not None else None,
             kv_mask,
+            empty_cache_len=cache_len,
+            quantize_cache=quant_kv,
         )
         attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + attn_out
@@ -569,7 +637,7 @@ def lm_forward(
             return x, (None, None, None, None)
         return x, new_kv
 
-    if cfg.remat and cache is None:
+    if cfg.remat and cache is None and cache_len is None:
         policy = None
         if cfg.remat_policy == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -612,7 +680,7 @@ def lm_forward(
     hidden = rms_norm(hidden, params["norm"]["weight"], cfg.rms_eps)
 
     new_cache = None
-    if cache is not None:
+    if cache is not None or cache_len is not None:
         new_cache = {"k": new_k, "v": new_v}
         if new_ks is not None:
             new_cache["k_scale"], new_cache["v_scale"] = new_ks, new_vs

@@ -167,6 +167,8 @@ def vlm_forward(
     ctx: Optional[Ctx] = None,
     cache: Optional[dict] = None,
     kv_mask: Optional[jax.Array] = None,
+    cache_len: Optional[int] = None,  # empty-prefill mode (lm_forward)
+    kv_cache_dtype=None,
     image_features: Optional[jax.Array] = None,  # precomputed (skip tower)
     qformer_ids: Optional[jax.Array] = None,
     qformer_mask: Optional[jax.Array] = None,
@@ -226,6 +228,8 @@ def vlm_forward(
         ctx=ctx.sub("lm"),
         cache=cache,
         kv_mask=kv_mask,
+        cache_len=cache_len,
+        kv_cache_dtype=kv_cache_dtype,
         return_logits=return_logits,
         return_hidden=return_hidden,
     )

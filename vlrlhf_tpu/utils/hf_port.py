@@ -27,6 +27,7 @@ StateDict = Mapping[str, np.ndarray]
 
 _DEV_CAST = None  # set by port_dtype(); floating tensors cast host-side
 _DEV_HOST = False  # inside _stack: keep tensors numpy until stacked
+_QUANT_REGS = None  # set by port_quantize(); per-layer host int8 quantize
 
 
 def _dev(x):
@@ -64,6 +65,54 @@ def port_dtype(dtype):
         _DEV_CAST = prev
 
 
+@contextlib.contextmanager
+def port_quantize(patterns):
+    """Quantize-during-port: linears under a `_stack(..., path=...)` whose
+    '/'-joined module path matches any pattern are int8-quantized ON HOST
+    (ops/quant.quantize_kernel_np), per layer, before device transfer. The
+    device transient for a 7B LM stack drops from 13.2 GiB bf16 to 6.6 GiB
+    int8 — the difference between a judge co-residency load fitting next to
+    a resident eval model and OOM (VERDICT r2 item 8). Non-stacked matches
+    (lm_head, projector) still port bf16 — the loader's cheap post-pass
+    quantize_params jit catches them (cli/loading.py load_model_bundle).
+
+    Production analog of the reference's load-time GPTQ quantization
+    (/root/reference/src/vlrlhf/utils/auto_load.py:509-578 q_lora/bits)."""
+    import re as _re
+
+    global _QUANT_REGS
+    prev = _QUANT_REGS
+    _QUANT_REGS = [_re.compile(p) for p in patterns]
+    try:
+        yield
+    finally:
+        _QUANT_REGS = prev
+
+
+def _quant_layer_host(tree, path: str):
+    """Walk one per-layer host-numpy dict, replacing linear dicts whose
+    module path matches _QUANT_REGS with {kernel_q, kernel_scale[, bias]}."""
+    from vlrlhf_tpu.ops.quant import quantize_kernel_np
+
+    if isinstance(tree, dict) and "kernel" in tree:
+        if any(r.search(path) for r in _QUANT_REGS):
+            k = tree["kernel"]
+            # kind check, not issubdtype: ml_dtypes' bfloat16 (what
+            # port_dtype casts to host-side) is not an np.floating subclass
+            if isinstance(k, np.ndarray) and k.dtype.kind not in "iub":
+                q, scale = quantize_kernel_np(k)
+                out = {"kernel_q": q, "kernel_scale": scale}
+                if "bias" in tree:
+                    out["bias"] = tree["bias"]
+                return out
+        return tree
+    if isinstance(tree, dict):
+        return {
+            k: _quant_layer_host(v, f"{path}/{k}") for k, v in tree.items()
+        }
+    return tree
+
+
 def _t(w) -> np.ndarray:
     return np.asarray(w).T  # torch Linear (out,in) -> (in,out)
 
@@ -90,12 +139,19 @@ def _stack_trees(trees: list) -> PyTree:
     return jnp.stack(trees)
 
 
-def _stack(fn: Callable[[int], dict], n: int) -> dict:
+def _stack(fn: Callable[[int], dict], n: int, path: str = "") -> dict:
+    """`path` names the stacked module's tree position (e.g.
+    "lm/layers_scanned") so port_quantize can match quant patterns against
+    full module paths; each layer is quantized host-side as it is read, so
+    peak host memory stays one bf16 layer + its int8 twin."""
     global _DEV_HOST
     prev = _DEV_HOST
     _DEV_HOST = True
     try:
-        layers = [fn(i) for i in range(n)]
+        if _QUANT_REGS is not None and path:
+            layers = [_quant_layer_host(fn(i), path) for i in range(n)]
+        else:
+            layers = [fn(i) for i in range(n)]
     finally:
         _DEV_HOST = prev
     return _stack_trees(layers)
@@ -145,7 +201,7 @@ def port_llama_lm(sd: StateDict, n_layers: int, prefix: str = "model") -> PyTree
         "embed_tokens": {
             "embedding": _dev(np.asarray(sd[f"{prefix}.embed_tokens.weight"]))
         },
-        "layers_scanned": _stack(layer, n_layers),
+        "layers_scanned": _stack(layer, n_layers, path="lm/layers_scanned"),
         "norm": _ln(sd, f"{prefix}.norm"),
     }
     lm_head_key = f"{head_prefix}.lm_head.weight"
@@ -187,7 +243,7 @@ def port_qwen_lm(sd: StateDict, n_layers: int, prefix: str = "transformer") -> P
         "embed_tokens": {
             "embedding": _dev(np.asarray(sd[f"{prefix}.wte.weight"]))
         },
-        "layers_scanned": _stack(layer, n_layers),
+        "layers_scanned": _stack(layer, n_layers, path="lm/layers_scanned"),
         "norm": _ln(sd, f"{prefix}.ln_f"),
         "lm_head": {"kernel": _dev(_t(sd["lm_head.weight"]))},
     }
@@ -235,7 +291,7 @@ def port_internlm2_lm(
                 np.asarray(sd[f"{prefix}.tok_embeddings.weight"])
             )
         },
-        "layers_scanned": _stack(layer, n_layers),
+        "layers_scanned": _stack(layer, n_layers, path="lm/layers_scanned"),
         "norm": _ln(sd, f"{prefix}.norm"),
         "lm_head": {"kernel": _dev(_t(sd["output.weight"]))},
     }
@@ -275,7 +331,7 @@ def port_clip_vit(sd: StateDict, n_layers: int, prefix: str) -> PyTree:
             )
         },
         "cls": {"token": _dev(np.asarray(sd[f"{emb}.class_embedding"]))},
-        "layers_scanned": _stack(layer, n_layers),
+        "layers_scanned": _stack(layer, n_layers, path="vision/layers_scanned"),
     }
     if f"{emb}.patch_embedding.bias" in sd:
         out["patch_embed"]["bias"] = _dev(
@@ -331,7 +387,7 @@ def port_qwen_visual(
             "embedding": _dev(np.asarray(sd[f"{prefix}.positional_embedding"]))
         },
         "ln_pre": _ln(sd, f"{prefix}.ln_pre"),
-        "layers_scanned": _stack(layer, n_layers),
+        "layers_scanned": _stack(layer, n_layers, path="vision/layers_scanned"),
     }
     ap = f"{prefix}.attn_pool"
     in_w = np.asarray(sd[f"{ap}.attn.in_proj_weight"])
@@ -532,7 +588,7 @@ def port_instructblip_vit(sd: StateDict, n_layers: int, prefix: str) -> PyTree:
         "cls": {
             "token": _dev(np.asarray(sd[f"{emb}.class_embedding"]))[0, 0]
         },
-        "layers_scanned": _stack(layer, n_layers),
+        "layers_scanned": _stack(layer, n_layers, path="vision/layers_scanned"),
         "ln_post": _ln(sd, f"{prefix}.post_layernorm"),
     }
 
