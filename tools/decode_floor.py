@@ -1,176 +1,169 @@
-"""Decode small-batch roofline analysis (VERDICT r2 weak item 5 / next item 7).
+"""Decode roofline decomposition on the real chip (VERDICT r2 weak #5).
 
-Round 2 measured a weights-only decode step of 5.0 ms vs a 3.4 ms
-weight-stream ideal at B=32 cache-160 (1.5B bf16). This tool decomposes the
-full decode step into measured components so the remaining gap is explained
-by numbers, not guesses:
+The decode step at small batch is HBM-bound; this tool separates the step
+into its bandwidth components and measures each one's achievable rate, so
+the gap between the measured step and its roofline is attributable:
 
-  ideal_weights   = param bytes / HBM BW        (819 GB/s on v5e)
-  ideal_kv        = cache bytes touched / HBM BW
-  matmuls_only    = per-layer projections + lm_head on (B, h), no attention
-  attn_only       = the Pallas decode-attention kernel alone
-  full_step       = lm_decode end to end
+  1. raw HBM stream rate for int8 / bf16 arrays (copy kernel, loop in jit)
+  2. dequant-matmul effective weight-read rate at decode shapes
+     (x (B,H) @ w_i8 (H,H') * scale — the serving matmul, loop in jit)
+  3. fused-width variant: one (H, 3H) matmul vs three (H, H) — does wider
+     streaming raise GB/s (the qkv/gate-up fusion question)?
+  4. decode-attention kernel ms at bench shape (cache DMA component)
+  5. full decode step ms (tools/decode_bench.py device mode) for reference
 
-All loops run INSIDE one jit (lax.fori_loop) — per-call tunnel launch
-overhead (~0.55 ms) would otherwise dominate kernel-scale timings
-(tools/flash_bench.py methodology).
+All loops run INSIDE one jit (lax.fori_loop) — per-call tunnel overhead is
+~0.55 ms, kernel-scale timings are meaningless otherwise (CLAUDE.md).
 
-Usage: python tools/decode_floor.py [--7b] [--int8] [--batch N] [--cache N]
+Usage: python tools/decode_floor.py [--7b] [--batch N] [--cache N]
 """
-import functools
 import sys
 import time
 
 sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-import __graft_entry__ as graft
-
-HBM_GBPS = {"v5e": 819, "v5p": 2765, "v4": 1228, "v6e": 1640}
+N_ITERS = 50
 
 
-def _gen():
-    import os
+def _timed(fn, *args):
+    """Compile, then time N_ITERS executions driven inside one jit."""
+    out = fn(*args)
+    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+    return (time.perf_counter() - t0) / N_ITERS
 
-    return os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
 
-
-def timed_loop(fn, carry, iters=32):
-    """Run `carry = fn(i, carry)` iters times inside ONE jit; time a second
-    call (first compiles)."""
+def stream_rate(nbytes_target=2 << 30, dtype=jnp.int8):
+    """Raw HBM read+write rate: y = x + 1 over a big array, N_ITERS times."""
+    n = nbytes_target // jnp.dtype(dtype).itemsize
+    x = jnp.ones((n,), dtype)
 
     @jax.jit
-    def run(carry):
-        return jax.lax.fori_loop(0, iters, fn, carry)
+    def run(x):
+        # a reduce reads the array once per iter with no write traffic
+        return jax.lax.fori_loop(
+            0, N_ITERS,
+            lambda i, a: a + jnp.sum(x.astype(jnp.int32) if dtype == jnp.int8
+                                     else x.astype(jnp.float32)).astype(
+                                         a.dtype),
+            jnp.zeros((), jnp.int32 if dtype == jnp.int8 else jnp.float32),
+        )
 
-    out = run(carry)
-    jax.tree.map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out,
-    )
-    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
-    t0 = time.perf_counter()
-    out = run(carry)
-    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
-    return (time.perf_counter() - t0) / iters, out
+    dt = _timed(run, x)
+    gbs = x.nbytes / dt / 1e9
+    print(f"  stream {jnp.dtype(dtype).name:8s} read: {gbs:7.1f} GB/s "
+          f"({x.nbytes / 2**20:.0f} MiB, {dt * 1e3:.3f} ms/pass)")
+    return gbs
+
+
+def matmul_rate(b, h, out, dtype=jnp.int8, label=""):
+    """Effective weight-read GB/s of the serving dequant-matmul."""
+    w = jnp.ones((h, out), dtype)
+    scale = jnp.full((1, out), 0.01, jnp.bfloat16)
+    x = jnp.ones((b, h), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, w, scale):
+        def body(i, acc):
+            y = (x @ w.astype(jnp.bfloat16)) * scale
+            return acc + jnp.sum(y)
+
+        return jax.lax.fori_loop(0, N_ITERS, body,
+                                 jnp.zeros((), jnp.float32))
+
+    dt = _timed(run, x, w, scale)
+    gbs = w.nbytes / dt / 1e9
+    print(f"  matmul {label or f'({h}x{out})':16s} B={b:<3d}: {gbs:7.1f} GB/s "
+          f"weight-read ({dt * 1e6:.1f} us/matmul)")
+    return gbs, dt
+
+
+def attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=False):
+    """Per-step cost of the decode-attention kernel over all layers."""
+    from vlrlhf_tpu.ops.decode_attention import decode_attention
+
+    kdt = jnp.int8 if kv8 else jnp.bfloat16
+    ck = jnp.ones((layers, b, nkv, cache_len, hd), kdt)
+    cv = jnp.ones((layers, b, nkv, cache_len, hd), kdt)
+    ks = vs = None
+    if kv8:
+        ks = jnp.full((layers, b, nkv, cache_len), 0.01, jnp.bfloat16)
+        vs = jnp.full((layers, b, nkv, cache_len), 0.01, jnp.bfloat16)
+    q = jnp.ones((b, nh, hd), jnp.bfloat16)
+    kc = jnp.ones((b, nkv, hd), jnp.bfloat16)
+    lengths = jnp.full((b,), cache_len - 1, jnp.int32)
+
+    @jax.jit
+    def run(q, ck, cv, kc, lengths, ks, vs):
+        def body(i, acc):
+            o = 0.0
+            for layer in range(layers):
+                o = o + jnp.sum(decode_attention(
+                    q, ck, cv, kc, kc, lengths, layer=layer,
+                    k_scale=ks, v_scale=vs,
+                ))
+            return acc + o
+
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.zeros((), jnp.float32))
+
+    dt = _timed(run, q, ck, cv, kc, lengths, ks, vs)
+    nbytes = ck.nbytes + cv.nbytes + (ks.nbytes + vs.nbytes if kv8 else 0)
+    print(f"  attention x{layers} layers cache={cache_len} "
+          f"{'int8' if kv8 else 'bf16'}: {dt * 1e3:.3f} ms/step "
+          f"({nbytes / dt / 1e9:.1f} GB/s cache-read)")
+    return dt
 
 
 def main():
-    assert jax.default_backend() == "tpu"
+    assert jax.default_backend() == "tpu", "floor analysis needs the chip"
     seven_b = "--7b" in sys.argv
-    int8 = "--int8" in sys.argv
-    B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 32
-    SC = int(sys.argv[sys.argv.index("--cache") + 1]) if "--cache" in sys.argv else 256
+    b = (int(sys.argv[sys.argv.index("--batch") + 1])
+         if "--batch" in sys.argv else 32)
+    cache_len = (int(sys.argv[sys.argv.index("--cache") + 1])
+                 if "--cache" in sys.argv else 160)
 
     if seven_b:
-        from vlrlhf_tpu.models.registry import FAMILIES
+        h, ff, nh, nkv, hd, layers, vocab = 4096, 11008, 32, 32, 128, 32, 32000
+    else:  # flagship 1.5B (tools/decode_bench.py geometry)
+        h, ff, nh, nkv, hd, layers, vocab = 2048, 5504, 16, 16, 128, 24, 32000
 
-        cfg = FAMILIES["llava"].make_config()
-    else:
-        cfg = graft._flagship_config(tiny=False)
-    lm = cfg.lm
-    from vlrlhf_tpu.models.vlm import init_vlm_params
+    print(f"shape: H={h} FF={ff} L={layers} B={b} cache={cache_len}")
+    print("[1] raw HBM stream")
+    stream_rate(dtype=jnp.int8)
+    stream_rate(dtype=jnp.bfloat16)
 
-    if int8:
-        from vlrlhf_tpu.ops.quant import quantize_params
+    print("[2] dequant-matmul weight-read rate at decode widths")
+    r_qkv, _ = matmul_rate(b, h, nh * hd, label="wq (HxH)")
+    matmul_rate(b, h, ff, label="gate (HxFF)")
+    matmul_rate(b, ff, h, label="down (FFxH)")
+    matmul_rate(b, h, vocab, label="lm_head")
 
-        params = jax.jit(
-            lambda k: quantize_params(init_vlm_params(cfg, k))
-        )(jax.random.PRNGKey(0))
-    else:
-        params = jax.jit(lambda k: init_vlm_params(cfg, k))(
-            jax.random.PRNGKey(0)
-        )
+    print("[3] fused-width ablation (is wider better?)")
+    _, t3 = matmul_rate(b, h, 3 * h, label="qkv fused (Hx3H)")
+    _, t1 = matmul_rate(b, h, h, label="q alone (HxH)")
+    print(f"    3x(HxH) = {3 * t1 * 1e6:.1f} us vs 1x(Hx3H) = {t3 * 1e6:.1f} us "
+          f"-> fusion saves {(3 * t1 - t3) * 1e6:.1f} us/layer-group")
+    _, tg = matmul_rate(b, h, 2 * ff, label="gateup fused")
+    _, tu = matmul_rate(b, h, ff, label="up alone")
+    print(f"    2x(HxFF) = {2 * tu * 1e6:.1f} us vs 1x(Hx2FF) = {tg * 1e6:.1f} us "
+          f"-> fusion saves {(2 * tu - tg) * 1e6:.1f} us/layer-group")
 
-    def leaf_bytes(tree):
-        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+    print("[4] decode-attention kernel")
+    attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=False)
+    attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=True)
 
-    lm_bytes = leaf_bytes(params["lm"])
-    kv_bytes = (
-        2 * lm.num_layers * B * SC * lm.num_kv_heads * lm.head_dim_ * 2
-    )
-    bw = HBM_GBPS[_gen()] * 1e9
-    print(f"model: {'7B' if seven_b else '1.5B'} "
-          f"{'int8' if int8 else 'bf16'}  B={B} cache={SC}")
-    print(f"ideal_weights {lm_bytes / bw * 1e3:6.2f} ms "
-          f"({lm_bytes / 2**30:.2f} GiB LM params)")
-    print(f"ideal_kv      {kv_bytes / bw * 1e3:6.2f} ms "
-          f"({kv_bytes / 2**30:.2f} GiB cache)")
-
-    # ---- full decode step (lm_decode, deferred writes, Pallas kernel) ----
-    from vlrlhf_tpu.generate.engine import _empty_pending
-    from vlrlhf_tpu.models.common import Ctx
-    from vlrlhf_tpu.models.lm.llama import lm_decode
-
-    shape = (lm.num_layers, B, lm.num_kv_heads, SC, lm.head_dim_)
-    cache = {"k": jnp.zeros(shape, lm.dtype), "v": jnp.zeros(shape, lm.dtype)}
-    pending = _empty_pending(lm, B, SC)
-    lengths = jnp.full((B,), SC - 64, jnp.int32)
-    tok = jnp.full((B,), 7, jnp.int32)
-
-    def full_body(i, carry):
-        tok, cache, pending = carry
-        logits, cache, pending = lm_decode(
-            lm, params["lm"], last_token=tok, lengths=lengths, cache=cache,
-            ctx=Ctx(), pending=pending,
-        )
-        return (jnp.argmax(logits[:, 0], -1).astype(jnp.int32), cache, pending)
-
-    dt_full, _ = timed_loop(full_body, (tok, cache, pending))
-    print(f"full_step     {dt_full * 1e3:6.2f} ms")
-
-    # ---- matmuls only: all per-layer projections + lm_head on (B, h) ----
-    from vlrlhf_tpu.models.common import embed, linear, rms_norm
-
-    def matmul_body(i, x):
-        h = x
-        for li in range(lm.num_layers):
-            lp = jax.tree.map(
-                lambda a: a[li], params["lm"]["layers_scanned"]
-            )
-            hh = rms_norm(h, lp["input_layernorm"]["weight"], lm.rms_eps)
-            q = linear(lp["attn"]["wq"], hh)
-            k = linear(lp["attn"]["wk"], hh)
-            v = linear(lp["attn"]["wv"], hh)
-            o = linear(lp["attn"]["wo"], q + 0 * (k.sum() + v.sum()))
-            h = h + o
-            hh = rms_norm(
-                h, lp["post_attention_layernorm"]["weight"], lm.rms_eps
-            )
-            from vlrlhf_tpu.models.lm.llama import _mlp_block
-
-            h = h + _mlp_block(lp["mlp"], Ctx(), hh)
-        logits = linear(params["lm"]["lm_head"], h)
-        return h + 1e-6 * logits[..., : h.shape[-1]]
-
-    x0 = jnp.ones((B, lm.hidden_size), lm.dtype)
-    dt_mm, _ = timed_loop(matmul_body, x0)
-    print(f"matmuls_only  {dt_mm * 1e3:6.2f} ms "
-          f"(= {dt_mm * bw / lm_bytes * 100:.0f}% of weight-stream ideal)")
-
-    # ---- attention kernel only (all layers) ----
-    from vlrlhf_tpu.ops.decode_attention import decode_attention
-
-    q0 = jnp.ones((B, lm.num_heads, lm.head_dim_), lm.dtype)
-    kc = jnp.ones((B, lm.num_kv_heads, lm.head_dim_), lm.dtype)
-
-    def attn_body(i, acc):
-        out = acc
-        for li in range(lm.num_layers):
-            out = out + decode_attention(
-                q0 + out * 1e-6, cache["k"], cache["v"], kc, kc, lengths,
-                layer=li,
-            )
-        return out
-
-    dt_attn, _ = timed_loop(attn_body, jnp.zeros_like(q0))
-    print(f"attn_only     {dt_attn * 1e3:6.2f} ms "
-          f"(= {dt_attn * bw / kv_bytes * 100:.0f}% of kv-stream ideal)")
-    resid = dt_full - dt_mm - dt_attn
-    print(f"residual      {resid * 1e3:6.2f} ms "
-          "(norms/rope/sampling/scatter + fusion overlap)")
+    # roofline synthesis
+    wbytes = layers * (h * nh * hd + 2 * h * nkv * hd + nh * hd * h
+                       + 3 * h * ff) + h * vocab
+    print(f"[5] int8 weight bytes/step: {wbytes / 2**30:.2f} GiB "
+          f"-> at measured wq rate {r_qkv:.0f} GB/s = "
+          f"{wbytes / (r_qkv * 1e9) * 1e3:.2f} ms weight floor")
+    print("compare: python tools/decode_bench.py --int8 "
+          f"--batch {b} (full step ms/token)")
 
 
 if __name__ == "__main__":
