@@ -951,6 +951,12 @@ def cmd_eval(args):
         params = jax.jit(
             lambda p: quantize_params(p, pats), donate_argnums=0
         )(params)
+    if getattr(args, "fuse_decode", False):
+        # Fused wqkv/gateup serving weights (after quantization — int8
+        # per-out-channel groups concat exactly; models/lm/fuse.py)
+        from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+
+        params = jax.jit(fuse_vlm_params, donate_argnums=0)(params)
     stop_ids = tuple(
         processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
     ) if family.stop_tokens and not args.synthetic else ()
@@ -1127,6 +1133,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="slot-refill serving for generation benchmarks "
                         "(mixed response lengths stop straggling batches; "
                         "per_device_train_batch_size sets the slot count)")
+    p.add_argument("--fuse_decode",
+                   type=lambda x: x.lower() == "true", default=False,
+                   help="fused wqkv/gateup serving weights: fewer, wider "
+                        "HBM streams per decode layer (models/lm/fuse)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

@@ -109,13 +109,15 @@ def default_lm_rules() -> ShardingRules:
             # int8-quantized kernels (ops/quant.py) shard exactly like their
             # bf16 originals; the (1, out) scales follow the out dim.
             (r"(^|/)lm_head/kernel(_q)?$", P("fsdp", "model")),
-            # Attention projections
-            (r"attn/(wq|wk|wv)/kernel(_q)?$", P("fsdp", "model")),
+            # Attention projections (wqkv = fused serving layout,
+            # models/lm/fuse.py — same in/out orientation as its parts)
+            (r"attn/(wq|wk|wv|wqkv)/kernel(_q)?$", P("fsdp", "model")),
             (r"attn/wo/kernel(_q)?$", P("model", "fsdp")),
-            # MLP
-            (r"mlp/(gate|up|fc1)/kernel(_q)?$", P("fsdp", "model")),
+            # MLP (gateup = fused serving layout)
+            (r"mlp/(gate|up|gateup|fc1)/kernel(_q)?$", P("fsdp", "model")),
             (r"mlp/(down|fc2)/kernel(_q)?$", P("model", "fsdp")),
-            (r"(lm_head|attn/(wq|wk|wv)|mlp/(gate|up|fc1))/kernel_scale$",
+            (r"(lm_head|attn/(wq|wk|wv|wqkv)|mlp/(gate|up|gateup|fc1))"
+             r"/kernel_scale$",
              P(None, "model")),
             (r"(attn/wo|mlp/(down|fc2))/kernel_scale$", P(None, "fsdp")),
             # LoRA adapters: A maps in->r (shard in on fsdp), B maps r->out

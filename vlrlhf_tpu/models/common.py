@@ -76,26 +76,36 @@ def linear(
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
-    if ctx is not None and isinstance(ctx.base_adapters, dict) \
-            and "a" in ctx.base_adapters:
-        # frozen built-in PLoRA: image positions only, no dropout (XC2's
-        # PLoRA.forward — res[im_mask] += B(A(x)) * scaling)
-        bdelta = lora_delta(
+    delta = linear_deltas(x, ctx)
+    if delta is not None:
+        y = y + delta.astype(y.dtype)
+    return y
+
+
+def linear_deltas(x: jax.Array, ctx: Optional[Ctx]) -> Optional[jax.Array]:
+    """The adapter terms a `linear` call adds on top of x @ kernel (+ bias):
+    frozen built-in PLoRA (image positions only — XC2's PLoRA.forward:
+    res[im_mask] += B(A(x)) * scaling) plus trainable LoRA (ALL positions —
+    peft wraps the module and knows nothing of im_mask). Exposed separately
+    so the fused-QKV serving path (models/lm/fuse.py) can apply per-submatrix
+    adapters on top of one fused base matmul."""
+    if ctx is None:
+        return None
+    out = None
+    if isinstance(ctx.base_adapters, dict) and "a" in ctx.base_adapters:
+        out = lora_delta(
             x, ctx.base_adapters, ctx.base_scale, mask=ctx.lora_mask
         )
-        y = y + bdelta.astype(y.dtype)
-    if ctx is not None and isinstance(ctx.adapters, dict) and "a" in ctx.adapters:
-        # trainable LoRA applies at ALL positions (peft wraps the module and
-        # knows nothing of im_mask, including on XC2's PLoRA linears)
-        delta = lora_delta(
+    if isinstance(ctx.adapters, dict) and "a" in ctx.adapters:
+        d = lora_delta(
             x,
             ctx.adapters,
             ctx.lora_scale,
             dropout_rng=ctx.dropout_rng,
             dropout=ctx.lora_dropout,
         )
-        y = y + delta.astype(y.dtype)
-    return y
+        out = d if out is None else (out + d.astype(out.dtype))
+    return out
 
 
 def embed(p: dict, ids: jax.Array, dtype: jnp.dtype) -> jax.Array:

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from jax.ad_checkpoint import checkpoint_name
 
-from vlrlhf_tpu.models.common import Ctx, embed, init_linear, linear
+from vlrlhf_tpu.models.common import (
+    Ctx,
+    embed,
+    init_linear,
+    linear,
+    linear_deltas,
+)
 from vlrlhf_tpu.ops.attention import multi_head_attention, reference_attention
 from vlrlhf_tpu.ops.norms import rms_norm
 from vlrlhf_tpu.ops.rope import RopeConfig, apply_rope, rope_frequencies
@@ -127,6 +133,42 @@ def init_lm_params(cfg: LMConfig, key: jax.Array) -> PyTree:
     return params
 
 
+def _qkv_proj(
+    p: dict,  # attn params: {wq,wk,wv,...} or fused {wqkv,...} (models/lm/fuse)
+    actx: Ctx,
+    h: jax.Array,  # (B, S, H) normed input
+    nh: int,
+    nkv: int,
+    hd: int,
+):
+    """q/k/v projections -> ((B,S,nh,hd), (B,S,nkv,hd), (B,S,nkv,hd)).
+
+    Fused serving params (fuse.fuse_lm_params) take ONE (H, (nh+2nkv)*hd)
+    weight stream + split; adapter deltas (LoRA / PLoRA) stay per-submatrix
+    on top — the adapter tree is never fused, so rollout policies work
+    unchanged. The unfused branch carries the remat checkpoint names
+    (training's save-policy hooks; fused params never train)."""
+    b, s, _ = h.shape
+    if "wqkv" in p:
+        y = linear(p["wqkv"], h)
+        dq, dk = nh * hd, nkv * hd
+        parts = [y[..., :dq], y[..., dq:dq + dk], y[..., dq + dk:]]
+        for j, name in enumerate(("wq", "wk", "wv")):
+            d = linear_deltas(h, actx.sub(name))
+            if d is not None:
+                parts[j] = parts[j] + d.astype(parts[j].dtype)
+        q, k, v = parts
+    else:
+        q = checkpoint_name(linear(p["wq"], h, actx.sub("wq")), "attn_q")
+        k = checkpoint_name(linear(p["wk"], h, actx.sub("wk")), "attn_k")
+        v = checkpoint_name(linear(p["wv"], h, actx.sub("wv")), "attn_v")
+    return (
+        q.reshape(b, s, nh, hd),
+        k.reshape(b, s, nkv, hd),
+        v.reshape(b, s, nkv, hd),
+    )
+
+
 def _attention_block(
     cfg: LMConfig,
     p: dict,
@@ -146,15 +188,7 @@ def _attention_block(
 ):
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
-    q = checkpoint_name(
-        linear(p["wq"], x, ctx.sub("wq")), "attn_q"
-    ).reshape(b, s, nh, hd)
-    k = checkpoint_name(
-        linear(p["wk"], x, ctx.sub("wk")), "attn_k"
-    ).reshape(b, s, nkv, hd)
-    v = checkpoint_name(
-        linear(p["wv"], x, ctx.sub("wv")), "attn_v"
-    ).reshape(b, s, nkv, hd)
+    q, k, v = _qkv_proj(p, ctx, x, nh, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
     if empty_cache_len is not None:
@@ -286,8 +320,22 @@ def _attention_block(
 
 
 def _mlp_block(p: dict, ctx: Ctx, x: jax.Array) -> jax.Array:
-    gate = checkpoint_name(linear(p["gate"], x, ctx.sub("gate")), "ffn_gate")
-    up = checkpoint_name(linear(p["up"], x, ctx.sub("up")), "ffn_up")
+    if "gateup" in p:
+        # fused serving layout (models/lm/fuse): one (H, 2*ff) weight stream
+        y = linear(p["gateup"], x)
+        ff = y.shape[-1] // 2
+        gate, up = y[..., :ff], y[..., ff:]
+        dg = linear_deltas(x, ctx.sub("gate"))
+        if dg is not None:
+            gate = gate + dg.astype(gate.dtype)
+        du = linear_deltas(x, ctx.sub("up"))
+        if du is not None:
+            up = up + du.astype(up.dtype)
+    else:
+        gate = checkpoint_name(
+            linear(p["gate"], x, ctx.sub("gate")), "ffn_gate"
+        )
+        up = checkpoint_name(linear(p["up"], x, ctx.sub("up")), "ffn_up")
     return linear(p["down"], jax.nn.silu(gate) * up, ctx.sub("down"))
 
 
@@ -371,9 +419,7 @@ def lm_decode(
         lctx = dataclasses.replace(layer_ctx, adapters=la, base_adapters=None)
         actx = lctx.sub("attn")
         h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
-        q = linear(lp["attn"]["wq"], h, actx.sub("wq")).reshape(b, 1, nh, hd)
-        k = linear(lp["attn"]["wk"], h, actx.sub("wk")).reshape(b, 1, nkv, hd)
-        v = linear(lp["attn"]["wv"], h, actx.sub("wv")).reshape(b, 1, nkv, hd)
+        q, k, v = _qkv_proj(lp["attn"], actx, h, nh, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         # pending stays in COMPUTE dtype — the next step's self term uses it
         # exactly, and (for int8 caches) quantization happens at write time
@@ -489,9 +535,7 @@ def lm_prefill_chunk(
         lctx = dataclasses.replace(layer_ctx, adapters=la, base_adapters=None)
         actx = lctx.sub("attn")
         h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
-        q = linear(lp["attn"]["wq"], h, actx.sub("wq")).reshape(b, c, nh, hd)
-        k = linear(lp["attn"]["wk"], h, actx.sub("wk")).reshape(b, c, nkv, hd)
-        v = linear(lp["attn"]["wv"], h, actx.sub("wv")).reshape(b, c, nkv, hd)
+        q, k, v = _qkv_proj(lp["attn"], actx, h, nh, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         # write chunk kv: (B, nkv, C) slots
         kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, nkv, C, hd)
