@@ -1,0 +1,151 @@
+"""int4 group-wise weights-only serving (ops/int4.py).
+
+The Pallas dequant-matmul runs in interpret mode on CPU; force_xla is the
+dense dequantize oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlrlhf_tpu.ops.int4 import (
+    GROUP,
+    dequantize_kernel_int4,
+    int4_matmul,
+    quantize_kernel_int4,
+    quantize_linear_int4,
+    unpack_int4,
+)
+
+
+def test_pack_unpack_roundtrip():
+    k = jax.random.normal(jax.random.PRNGKey(0), (256, 96))
+    packed, scale = quantize_kernel_int4(k)
+    assert packed.shape == (128, 96) and packed.dtype == jnp.int8
+    assert scale.shape == (256 // GROUP, 96) and scale.dtype == jnp.bfloat16
+    codes = unpack_int4(packed)
+    assert codes.shape == (256, 96)
+    assert int(jnp.min(codes)) >= -8 and int(jnp.max(codes)) <= 7
+    # quantization error bounded by half a step plus the bf16-scale
+    # rounding term (|q| <= 8 codes x 2^-9 relative scale error)
+    deq = dequantize_kernel_int4(packed, scale, jnp.float32)
+    step = np.repeat(np.asarray(scale, np.float32), GROUP, axis=0)
+    err = np.abs(np.asarray(k) - np.asarray(deq))
+    assert (err <= step * (0.5 + 8 * 2**-9) + 1e-6).all(), float(err.max())
+
+
+def test_int4_matmul_kernel_matches_oracle():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    for t, d_in, d_out in [(4, 128, 128), (8, 256, 200), (300, 384, 512)]:
+        x = (jax.random.normal(kx, (t, d_in)) * 0.5).astype(jnp.bfloat16)
+        k = jax.random.normal(kw, (d_in, d_out)) * 0.05
+        packed, scale = quantize_kernel_int4(k)
+        got = int4_matmul(x, packed, scale)
+        want = int4_matmul(x, packed, scale, force_xla=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.05, rtol=0.02,
+            err_msg=f"shape ({t},{d_in},{d_out})",
+        )
+
+
+def test_linear_dispatch_int4_with_bias_and_lora():
+    from vlrlhf_tpu.models.common import Ctx, linear
+
+    k = jax.random.normal(jax.random.PRNGKey(2), (128, 64)) * 0.1
+    bias = jax.random.normal(jax.random.PRNGKey(3), (64,)) * 0.1
+    p4 = quantize_linear_int4({"kernel": k, "bias": bias})
+    assert "bias" in p4
+    x = (jax.random.normal(jax.random.PRNGKey(4), (2, 5, 128)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    adapters = {
+        "a": jax.random.normal(jax.random.PRNGKey(5), (128, 4)) * 0.1,
+        "b": jax.random.normal(jax.random.PRNGKey(6), (4, 64)) * 0.1,
+    }
+    ctx = Ctx(adapters=adapters, lora_scale=0.5)
+    got = linear(p4, x, ctx)
+    deq = dequantize_kernel_int4(p4["kernel_q4"], p4["kernel_scale"])
+    want = linear({"kernel": deq, "bias": bias}, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.02,
+    )
+
+
+def test_quantize_params_bits4_and_fallback():
+    from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params
+    from vlrlhf_tpu.ops.quant import quantize_params
+
+    cfg = LMConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=4, dtype=jnp.float32,
+        remat=False,
+    )
+    params = {"lm": init_lm_params(cfg, jax.random.PRNGKey(7))}
+    q4 = quantize_params(params, bits=4)
+    attn = q4["lm"]["layers_scanned"]["attn"]
+    assert "kernel_q4" in attn["wq"], attn["wq"].keys()
+    assert attn["wq"]["kernel_q4"].shape == (2, 64, 128)  # (L, in/2, out)
+    assert "kernel_q4" in q4["lm"]["lm_head"]
+
+    # in-dim not 128-divisible -> silent int8 fallback, not a failure
+    tiny = {"lm": {"layers_scanned": {"attn": {"wq": {
+        "kernel": jax.random.normal(jax.random.PRNGKey(8), (2, 32, 32))
+    }}}}}
+    q8 = quantize_params(tiny, bits=4)
+    assert "kernel_q" in q8["lm"]["layers_scanned"]["attn"]["wq"]
+
+
+def test_int4_lm_forward_and_decode_close_to_dense_twin():
+    from tests.test_fuse import _prefill_and_decode
+    from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params
+    from vlrlhf_tpu.ops.quant import dequantize_params, quantize_params
+
+    cfg = LMConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+        remat=False,
+    )
+    base = init_lm_params(cfg, jax.random.PRNGKey(9))
+    q4 = quantize_params({"lm": base}, bits=4)["lm"]
+    dense_twin = dequantize_params(q4, jnp.float32)
+
+    ids = jax.random.randint(jax.random.PRNGKey(10), (2, 12), 1, 250)
+    lens = jnp.asarray([9, 12], jnp.int32)
+    got = _prefill_and_decode(cfg, q4, ids, lens)
+    # twin forward runs the SAME dequantized weights densely; the int4
+    # kernel casts activations to bf16, so tolerance is bf16-level
+    want = _prefill_and_decode(cfg, dense_twin, ids, lens)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            atol=0.08, rtol=0.05, err_msg=f"step {i}",
+        )
+
+
+def test_fused_int4_parity():
+    from tests.test_fuse import _prefill_and_decode
+    from vlrlhf_tpu.models.lm.fuse import fuse_lm_params
+    from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params
+    from vlrlhf_tpu.ops.quant import quantize_params
+
+    cfg = LMConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+        remat=False,
+    )
+    base = init_lm_params(cfg, jax.random.PRNGKey(11))
+    q4 = quantize_params({"lm": base}, bits=4)["lm"]
+    fused = fuse_lm_params(q4)
+    assert "kernel_q4" in fused["layers_scanned"]["attn"]["wqkv"]
+
+    ids = jax.random.randint(jax.random.PRNGKey(12), (2, 10), 1, 250)
+    lens = jnp.asarray([8, 10], jnp.int32)
+    a = _prefill_and_decode(cfg, q4, ids, lens)
+    b = _prefill_and_decode(cfg, fused, ids, lens)
+    for i, (g, w) in enumerate(zip(a, b)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            atol=1e-4, rtol=0, err_msg=f"step {i}",
+        )

@@ -935,11 +935,16 @@ def cmd_eval(args):
     from vlrlhf_tpu.generate.engine import GenerateConfig
 
     family, cfg, params, processor = _load_bundle(args)
-    if args.quantize:
-        # Weights-only int8 serving (incl. lm_head): decode is HBM-bandwidth
-        # bound, int8 kernels measured ~1.5x decode throughput on v5e.
-        # With a co-resident judge, widen to the vision tower + projector
-        # too — the extra ~0.3 GiB is the two-stacks-on-one-chip margin.
+    qbits = {"false": 0, "true": 8, "int8": 8, "int4": 4}[
+        str(args.quantize).lower()
+    ]
+    if qbits:
+        # Weights-only serving quantization (incl. lm_head): decode is HBM-
+        # bandwidth bound — int8 measured ~1.5x decode throughput on v5e;
+        # int4 (group-wise, Pallas dequant-matmul, ops/int4.py) halves
+        # weight bytes again. With a co-resident judge, widen to the vision
+        # tower + projector too — the extra ~0.3 GiB is the
+        # two-stacks-on-one-chip margin.
         from vlrlhf_tpu.ops.quant import (
             DEFAULT_QUANT_PATTERNS,
             SERVE_QUANT_PATTERNS_WIDE,
@@ -949,7 +954,7 @@ def cmd_eval(args):
         pats = (SERVE_QUANT_PATTERNS_WIDE if args.judge_model_path
                 else DEFAULT_QUANT_PATTERNS)
         params = jax.jit(
-            lambda p: quantize_params(p, pats), donate_argnums=0
+            lambda p: quantize_params(p, pats, bits=qbits), donate_argnums=0
         )(params)
     if getattr(args, "fuse_decode", False):
         # Fused wqkv/gateup serving weights (after quantization — int8
@@ -1006,7 +1011,7 @@ def cmd_eval(args):
             args.judge_model_path,
             jnp.bfloat16 if args.bf16 else jnp.float32,
             args.max_length, args.max_prompt_length,
-            quantize_patterns=_JPATS if args.quantize else None,
+            quantize_patterns=_JPATS if qbits else None,
         )
         # Judging is text-only (questions + decoded answers): the judge's
         # vision tower / projector never run — drop them (~0.6 GiB at 7B;
@@ -1121,9 +1126,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--judge_model_path", type=str, default=None,
                    help="checkpoint for the LLM choice-extraction judge "
                         "(served by our own engine)")
-    p.add_argument("--quantize", type=lambda x: x.lower() == "true",
-                   default=False,
-                   help="int8 weights-only serving (~1.5x decode on v5e)")
+    p.add_argument("--quantize", type=str, default="false",
+                   choices=["false", "true", "int8", "int4"],
+                   help="weights-only serving quantization: true/int8 "
+                        "(~1.5x decode on v5e) or int4 (group-wise, Pallas "
+                        "dequant-matmul — halves weight bytes again)")
     p.add_argument("--kv_cache_dtype", type=str, default="bf16",
                    choices=["bf16", "int8"],
                    help="int8 halves KV-cache HBM: bigger batches / longer "

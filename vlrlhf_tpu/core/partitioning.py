@@ -108,14 +108,16 @@ def default_lm_rules() -> ShardingRules:
             (r"(^|/)embed_tokens/embedding$", P("fsdp", "model")),
             # int8-quantized kernels (ops/quant.py) shard exactly like their
             # bf16 originals; the (1, out) scales follow the out dim.
-            (r"(^|/)lm_head/kernel(_q)?$", P("fsdp", "model")),
+            # int8 kernel_q shards like its bf16 original; int4 kernel_q4
+            # packs nibbles along IN (rows), so row sharding stays valid too
+            (r"(^|/)lm_head/kernel(_q4?)?$", P("fsdp", "model")),
             # Attention projections (wqkv = fused serving layout,
             # models/lm/fuse.py — same in/out orientation as its parts)
-            (r"attn/(wq|wk|wv|wqkv)/kernel(_q)?$", P("fsdp", "model")),
-            (r"attn/wo/kernel(_q)?$", P("model", "fsdp")),
+            (r"attn/(wq|wk|wv|wqkv)/kernel(_q4?)?$", P("fsdp", "model")),
+            (r"attn/wo/kernel(_q4?)?$", P("model", "fsdp")),
             # MLP (gateup = fused serving layout)
-            (r"mlp/(gate|up|gateup|fc1)/kernel(_q)?$", P("fsdp", "model")),
-            (r"mlp/(down|fc2)/kernel(_q)?$", P("model", "fsdp")),
+            (r"mlp/(gate|up|gateup|fc1)/kernel(_q4?)?$", P("fsdp", "model")),
+            (r"mlp/(down|fc2)/kernel(_q4?)?$", P("model", "fsdp")),
             (r"(lm_head|attn/(wq|wk|wv|wqkv)|mlp/(gate|up|gateup|fc1))"
              r"/kernel_scale$",
              P(None, "model")),

@@ -72,6 +72,13 @@ def linear(
         y = (x @ p["kernel_q"].astype(x.dtype)) * p["kernel_scale"].astype(
             x.dtype
         )
+    elif "kernel_q4" in p:
+        # W4A16 serving: group-wise int4 with in-VMEM unpack (ops/int4.py —
+        # a plain-XLA path would materialize the bf16 kernel and read MORE
+        # bytes than int8; the Pallas kernel is what makes int4 pay).
+        from vlrlhf_tpu.ops.int4 import int4_apply
+
+        y = int4_apply(p, x)
     else:
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:

@@ -38,16 +38,20 @@ def _concat_linears(parts: list[dict]) -> dict:
     quantize_params' patterns quantize attn/mlp as a unit, so mixed groups
     only arise from a caller bug. Biases zero-fill for parts without one.
     """
-    quant = ["kernel_q" in p for p in parts]
-    assert all(quant) or not any(quant), "mixed bf16/int8 fusion group"
-    out: dict = {}
-    if quant[0]:
-        out["kernel_q"] = jnp.concatenate([p["kernel_q"] for p in parts], -1)
+    def kind(p):
+        return ("kernel_q" if "kernel_q" in p
+                else "kernel_q4" if "kernel_q4" in p else "kernel")
+
+    kinds = {kind(p) for p in parts}
+    assert len(kinds) == 1, f"mixed-quantization fusion group: {kinds}"
+    key = kinds.pop()
+    # int4 packs along IN (split-half nibbles) and int8 scales are
+    # per-out-channel — both concat along OUT exactly.
+    out: dict = {key: jnp.concatenate([p[key] for p in parts], -1)}
+    if key != "kernel":
         out["kernel_scale"] = jnp.concatenate(
             [p["kernel_scale"] for p in parts], -1
         )
-    else:
-        out["kernel"] = jnp.concatenate([p["kernel"] for p in parts], -1)
     if any("bias" in p for p in parts):
         ref = next(p["bias"] for p in parts if "bias" in p)
 

@@ -1,0 +1,190 @@
+"""Weights-only int4 serving: group-wise RTN quantization + Pallas
+dequant-matmul.
+
+The TPU counterpart of the reference's 4-bit surface (GPTQ-quantized bases
+under `lora_args.q_lora` + `bits`, /root/reference/src/vlrlhf/utils/
+auto_load.py:509-578) and the W4A16 mode of CUDA serving stacks. Decode is
+HBM-weight-bandwidth-bound; int4 halves weight bytes/token again over int8.
+
+int8 gets away with plain XLA (`x @ w.astype(bf16) * scale` streams the int8
+kernel directly). int4 CANNOT: XLA has no packed-nibble operand, so an XLA
+path must materialize the unpacked kernel in HBM first — reading int4 +
+writing bf16 + reading bf16 is MORE bytes than int8. The win requires
+unpacking in VMEM between the DMA and the MXU, i.e. a Pallas kernel.
+
+Representation (per linear):
+  kernel_q4:    (in/2, out) int8 — two 4-bit codes per byte, SPLIT-HALF
+                packed: byte row i holds unpacked row i in its LOW nibble
+                and unpacked row i + in/2 in its HIGH nibble. Unpacking is
+                two sign-extending shifts yielding two CONTIGUOUS row
+                blocks — no sublane interleave (expensive on TPU).
+  kernel_scale: (in/GROUP, out) bf16 — symmetric per-(group, out-channel)
+                scales, GROUP=64 rows along `in` (finer than GPTQ's usual
+                128: the kernel iterates 64-row packed blocks, so group
+                boundaries align with iteration for free).
+Codes are [-8, 7]; y[t,o] = sum_g scale[g,o] * (x[t, g*64:(g+1)*64] @
+q[g*64:(g+1)*64, o]).
+
+`linear()` (models/common.py) dispatches on the "kernel_q4" key, so int4
+params flow through decode, chunk prefill, full prefill, LoRA deltas, and
+the fused-wqkv layout (models/lm/fuse.py concatenates packed kernels along
+`out` — packing is along `in`, so fusion stays exact) unchanged.
+
+Kernel grid: (T blocks, out blocks). Each program DMAs its (in/2, O_blk)
+packed column panel + (in/64, O_blk) scales, loops 64-row packed blocks:
+two shifts (VPU), two (T_blk, 64) @ (64, O_blk) MXU dots, scale-weighted
+f32 accumulate. Runs in interpret mode off-TPU; `force_xla=True` is the
+dense dequant oracle for parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+PyTree = Any
+
+GROUP = 64  # quantization group rows along `in` (== packed-block rows * 1)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Quantize / pack / dequantize
+
+
+def quantize_kernel_int4(k2d: jax.Array):
+    """(in, out) float kernel -> ((in/2, out) int8 packed, (in/64, out) bf16
+    scales). Requires in % (2 * GROUP) == 0 (halves split on group bounds)."""
+    din, dout = k2d.shape
+    assert din % (2 * GROUP) == 0, f"in={din} not divisible by {2 * GROUP}"
+    kf = k2d.astype(jnp.float32).reshape(din // GROUP, GROUP, dout)
+    amax = jnp.max(jnp.abs(kf), axis=1, keepdims=True)  # (G#, 1, out)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(kf / scale), -8, 7).astype(jnp.int8)
+    q = q.reshape(din, dout)
+    half = din // 2
+    lo, hi = q[:half], q[half:]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)), jnp.left_shift(hi, 4)
+    )
+    return packed, scale[:, 0, :].astype(jnp.bfloat16)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """(in/2, out) packed int8 -> (in, out) int8 codes in [-8, 7]."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend low
+    hi = jnp.right_shift(packed, 4)  # arithmetic shift sign-extends high
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def dequantize_kernel_int4(
+    packed: jax.Array, scale: jax.Array, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Dense (in, out) kernel — export / oracle / XLA-fallback path."""
+    q = unpack_int4(packed).astype(jnp.float32)
+    s = jnp.repeat(scale.astype(jnp.float32), GROUP, axis=0)  # (in, out)
+    return (q * s).astype(dtype)
+
+
+def quantize_linear_int4(p: dict) -> dict:
+    """Quantize one linear param dict; stacked (L, in, out) kernels map
+    layer-by-layer (bounded f32 working set, same as ops/quant.py int8)."""
+    k = p["kernel"]
+    if k.ndim == 3:
+        packed, scale = jax.lax.map(quantize_kernel_int4, k)
+    else:
+        packed, scale = quantize_kernel_int4(k)
+    out = {"kernel_q4": packed, "kernel_scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas dequant-matmul
+
+
+def _int4_matmul_kernel(
+    x_ref,  # (T_blk, in) bf16
+    p_ref,  # (in/2, O_blk) int8 packed
+    s_ref,  # (in/64, O_blk) bf16 group scales
+    o_ref,  # (T_blk, O_blk) bf16
+    *,
+    d_in: int,
+):
+    half = d_in // 2
+    n_blocks = half // GROUP  # 64-row packed blocks == low-half groups
+    t_blk = x_ref.shape[0]
+    o_blk = o_ref.shape[1]
+
+    def body(j, acc):
+        pb = p_ref[pl.ds(j * GROUP, GROUP), :]  # (64, O_blk) int8
+        lo = jnp.right_shift(jnp.left_shift(pb, 4), 4).astype(jnp.bfloat16)
+        hi = jnp.right_shift(pb, 4).astype(jnp.bfloat16)
+        xlo = x_ref[:, pl.ds(j * GROUP, GROUP)]  # (T_blk, 64)
+        xhi = x_ref[:, pl.ds(half + j * GROUP, GROUP)]
+        plo = jax.lax.dot(xlo, lo, preferred_element_type=jnp.float32)
+        phi = jax.lax.dot(xhi, hi, preferred_element_type=jnp.float32)
+        slo = s_ref[pl.ds(j, 1), :].astype(jnp.float32)  # (1, O_blk)
+        shi = s_ref[pl.ds(n_blocks + j, 1), :].astype(jnp.float32)
+        return acc + plo * slo + phi * shi
+
+    acc = jax.lax.fori_loop(
+        0, n_blocks, body, jnp.zeros((t_blk, o_blk), jnp.float32)
+    )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("force_xla",))
+def int4_matmul(
+    x2d: jax.Array,  # (T, in)
+    packed: jax.Array,  # (in/2, out) int8
+    scale: jax.Array,  # (in/64, out) bf16
+    force_xla: bool = False,
+) -> jax.Array:
+    """y = x @ dequant(packed, scale) without materializing the kernel."""
+    t, d_in = x2d.shape
+    d_out = packed.shape[1]
+    if force_xla:
+        w = dequantize_kernel_int4(packed, scale, x2d.dtype)
+        return x2d @ w
+
+    o_blk = 256 if d_out % 256 == 0 else 128
+    pad_o = (-d_out) % o_blk
+    if pad_o:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_o)))
+        scale = jnp.pad(scale, ((0, 0), (0, pad_o)))
+    t_blk = min(256, max(8, -(-t // 8) * 8))
+    pad_t = (-t) % t_blk
+    xp = jnp.pad(x2d, ((0, pad_t), (0, 0))) if pad_t else x2d
+
+    out = pl.pallas_call(
+        functools.partial(_int4_matmul_kernel, d_in=d_in),
+        grid=((t + pad_t) // t_blk, (d_out + pad_o) // o_blk),
+        in_specs=[
+            pl.BlockSpec((t_blk, d_in), lambda ti, oi: (ti, 0)),
+            pl.BlockSpec((d_in // 2, o_blk), lambda ti, oi: (0, oi)),
+            pl.BlockSpec((d_in // GROUP, o_blk), lambda ti, oi: (0, oi)),
+        ],
+        out_specs=pl.BlockSpec((t_blk, o_blk), lambda ti, oi: (ti, oi)),
+        out_shape=jax.ShapeDtypeStruct((t + pad_t, d_out + pad_o), x2d.dtype),
+        interpret=_interpret(),
+    )(xp.astype(jnp.bfloat16), packed, scale)
+    return out[:t, :d_out]
+
+
+def int4_apply(p: dict, x: jax.Array, force_xla: bool = False) -> jax.Array:
+    """linear()'s int4 branch: (..., in) @ packed kernel -> (..., out)."""
+    lead = x.shape[:-1]
+    y2d = int4_matmul(
+        x.reshape(-1, x.shape[-1]), p["kernel_q4"], p["kernel_scale"],
+        force_xla=force_xla,
+    )
+    return y2d.reshape(*lead, y2d.shape[-1]).astype(x.dtype)

@@ -141,18 +141,31 @@ def quantize_params(
     params: PyTree,
     patterns: Sequence[str] = DEFAULT_QUANT_PATTERNS,
     dtype=jnp.int8,
+    bits: int = 8,
 ) -> PyTree:
     """Quantize every linear whose tree path matches any pattern.
 
     Paths are '/'-joined key chains addressing the MODULE (not the kernel
     leaf), e.g. "lm/layers_scanned/attn/wq". jit this call: eager per-op
     dispatch over the axon tunnel is ~15 ms/op.
+
+    bits=4 takes the group-wise int4 path (ops/int4.py, W4A16 serving —
+    the counterpart of the reference's GPTQ `bits=4` surface); linears
+    whose in-dim is not 128-divisible (tiny projector heads) fall back to
+    int8 rather than fail.
     """
     regs = [re.compile(p) for p in patterns]
+    if bits == 4:
+        from vlrlhf_tpu.ops.int4 import GROUP, quantize_linear_int4
+
+    def quant_one(node: dict) -> dict:
+        if bits == 4 and node["kernel"].shape[-2] % (2 * GROUP) == 0:
+            return quantize_linear_int4(node)
+        return quantize_linear(node, dtype)
 
     def walk(node: Any, path: str) -> Any:
         if _is_linear(node) and any(r.search(path) for r in regs):
-            return quantize_linear(node, dtype)
+            return quant_one(node)
         if isinstance(node, dict):
             return {
                 k: walk(v, f"{path}/{k}" if path else k)
@@ -169,6 +182,23 @@ def dequantize_params(params: PyTree, dtype=jnp.bfloat16) -> PyTree:
     def walk(node: Any) -> Any:
         if _is_qlinear(node):
             return dequantize_linear(node, dtype)
+        if isinstance(node, dict) and "kernel_q4" in node:
+            from vlrlhf_tpu.ops.int4 import dequantize_kernel_int4
+
+            k = node["kernel_q4"]
+            if k.ndim == 3:
+                kernel = jax.lax.map(
+                    lambda pk: dequantize_kernel_int4(pk[0], pk[1], dtype),
+                    (k, node["kernel_scale"]),
+                )
+            else:
+                kernel = dequantize_kernel_int4(
+                    k, node["kernel_scale"], dtype
+                )
+            out = {"kernel": kernel}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}
         return node
