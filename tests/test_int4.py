@@ -124,6 +124,93 @@ def test_int4_lm_forward_and_decode_close_to_dense_twin():
         )
 
 
+def test_int4_custom_vjp_dx_matches_dense():
+    """Activation gradients through the int4 kernel (QLoRA training) match
+    the dense dequantized oracle; the packed kernel/scales get none."""
+    k = jax.random.normal(jax.random.PRNGKey(13), (128, 192)) * 0.1
+    p4 = quantize_linear_int4({"kernel": k})
+    x = (jax.random.normal(jax.random.PRNGKey(14), (6, 128)) * 0.5).astype(
+        jnp.float32
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(15), (6, 192))
+
+    from vlrlhf_tpu.ops.int4 import int4_apply
+
+    def f(x):
+        return jnp.sum(int4_apply(p4, x) * cot)
+
+    dx = jax.grad(f)(x)
+    deq = dequantize_kernel_int4(p4["kernel_q4"], p4["kernel_scale"])
+
+    def f_dense(x):
+        return jnp.sum((x.astype(jnp.bfloat16) @ deq).astype(x.dtype) * cot)
+
+    dx_dense = jax.grad(f_dense)(x)
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dx_dense, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+
+
+def test_int4_qlora_dpo_step():
+    """Frozen int4 base + LoRA adapters trains end-to-end; step-0 DPO loss
+    is log(2) (policy == ref on the SAME quantized base) and decreases."""
+    from tests.test_dpo_step import IMG_TOKEN, N_IMG_TOKENS, tiny_batch
+    from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import (
+        ProjectorConfig,
+        VLMConfig,
+        init_vlm_params,
+    )
+    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS, quantize_params
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig,
+        init_train_state,
+        make_optimizer,
+    )
+
+    # int4 needs 128-divisible in dims — a slightly larger tiny model
+    cfg = VLMConfig(
+        lm=LMConfig(
+            vocab_size=128, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=4,
+            dtype=jnp.float32, remat=False,
+        ),
+        vision=ViTConfig(
+            image_size=16, patch_size=4, hidden_size=16, num_layers=2,
+            num_heads=2, mlp_dim=32, feature_layer=-2,
+            drop_class_token=True, dtype=jnp.float32, remat=False,
+        ),
+        projector=ProjectorConfig(kind="mlp2x_gelu", in_dim=16, out_dim=128),
+        image_token_id=IMG_TOKEN,
+        num_image_tokens=N_IMG_TOKENS,
+    )
+    params = init_vlm_params(cfg, jax.random.PRNGKey(16))
+    q4 = quantize_params(params, TRAIN_QUANT_PATTERNS, bits=4)
+    assert "kernel_q4" in q4["lm"]["layers_scanned"]["attn"]["wq"]
+    lcfg = LoraConfig(
+        r=4, alpha=8.0, target_patterns=(r"lm/.*attn/", r"lm/.*mlp/")
+    )
+    adapters = init_lora(q4, lcfg, jax.random.PRNGKey(17))
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=5e-3, warmup_steps=1, total_steps=50),
+        adapters,
+    )
+    state = init_train_state(adapters, tx)
+    step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
+    batch = tiny_batch(jax.random.PRNGKey(18))
+    state, m = step(state, q4, batch)
+    np.testing.assert_allclose(float(m["loss"]), np.log(2.0), atol=1e-4)
+    losses = [float(m["loss"])]
+    for _ in range(6):
+        state, m = step(state, q4, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 1e-3, losses
+
+
 def test_fused_int4_parity():
     from tests.test_fuse import _prefill_and_decode
     from vlrlhf_tpu.models.lm.fuse import fuse_lm_params

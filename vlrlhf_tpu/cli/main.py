@@ -63,8 +63,10 @@ def _common_args(p: argparse.ArgumentParser):
     # LM stack (ops/quant.py) — halves resident param HBM so more pairs fit.
     p.add_argument("--q_lora", type=lambda x: x.lower() == "true",
                    default=False)
-    p.add_argument("--bits", type=int, default=8, choices=[8],
-                   help="QLoRA weight bits (TPU build: int8)")
+    p.add_argument("--bits", type=int, default=8, choices=[8, 4],
+                   help="QLoRA weight bits: 8 = int8 (XLA W8A16); 4 = "
+                        "group-wise int4 (ops/int4.py Pallas dequant-matmul "
+                        "+ custom-VJP activation grads, quarter param HBM)")
     p.add_argument("--q_lora_vision", type=lambda x: x.lower() == "true",
                    default=False,
                    help="with --q_lora: also int8 the frozen vision tower + "
@@ -162,7 +164,11 @@ def _load_bundle(args):
             qpats = (_q.SERVE_QUANT_PATTERNS_WIDE
                      if getattr(args, "judge_model_path", "")
                      else _q.DEFAULT_QUANT_PATTERNS)
-        elif getattr(args, "q_lora", False) and getattr(args, "use_lora", True):
+        elif (getattr(args, "q_lora", False)
+              and getattr(args, "use_lora", True)
+              and getattr(args, "bits", 8) == 8):
+            # bits=4 skips the host-side during-port quantization (the port
+            # twin is int8-only) and quantizes device-side below instead
             qpats = (_q.TRAIN_QUANT_PATTERNS_WIDE
                      if getattr(args, "q_lora_vision", False)
                      else _q.TRAIN_QUANT_PATTERNS)
@@ -286,8 +292,9 @@ def _setup_training(args, cfg, params, family):
         )
         # Donated: XLA frees each bf16 kernel as its int8 twin lands, so a
         # 13 GiB base quantizes in place on a 16 GiB chip.
+        qbits = getattr(args, "bits", 8)
         params = jax.jit(
-            lambda p: quantize_params(p, pats),
+            lambda p: quantize_params(p, pats, bits=qbits),
             donate_argnums=0,
         )(params)
     params = shard_pytree(rules, params, mesh)

@@ -54,9 +54,12 @@ def match_lora_targets(
     regs = [re.compile(p) for p in patterns]
     out = []
     for path, leaf in tree_paths(params):
-        # kernel_q: int8-quantized frozen base (QLoRA mode, ops/quant.py)
+        # kernel_q / kernel_q4: quantized frozen base (QLoRA mode,
+        # ops/quant.py int8 / ops/int4.py group-wise int4)
         if path.endswith("/kernel_q"):
             path = path[: -len("_q")]
+        elif path.endswith("/kernel_q4"):
+            path = path[: -len("_q4")]
         elif not path.endswith("/kernel"):
             continue
         if getattr(leaf, "ndim", 0) != 2 and "_scanned" not in path:
@@ -92,15 +95,26 @@ def init_lora(
     adapters: dict = {}
     keys = jax.random.split(rng, max(len(targets), 1))
     for key, path in zip(keys, sorted(targets)):
-        kernel = flat[path] if path in flat else flat[path + "_q"]
+        if path in flat:
+            kernel = flat[path]
+            in_mul = 1
+        elif path + "_q" in flat:
+            kernel = flat[path + "_q"]
+            in_mul = 1
+        else:
+            # int4: two nibbles packed per byte along `in` (ops/int4.py)
+            kernel = flat[path + "_q4"]
+            in_mul = 2
         if "_scanned" in path and kernel.ndim == 3:
             n_layers, d_in, d_out = kernel.shape
+            d_in *= in_mul
             a = jax.random.normal(key, (n_layers, d_in, config.r), dtype) / (
                 config.r**0.5
             )
             b = jnp.zeros((n_layers, config.r, d_out), dtype)
         else:
             d_in, d_out = kernel.shape
+            d_in *= in_mul
             a = jax.random.normal(key, (d_in, config.r), dtype) / config.r**0.5
             b = jnp.zeros((config.r, d_out), dtype)
         parts = path.split("/")[:-1]  # drop the trailing 'kernel'

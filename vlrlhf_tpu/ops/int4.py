@@ -180,11 +180,144 @@ def int4_matmul(
     return out[:t, :d_out]
 
 
-def int4_apply(p: dict, x: jax.Array, force_xla: bool = False) -> jax.Array:
-    """linear()'s int4 branch: (..., in) @ packed kernel -> (..., out)."""
-    lead = x.shape[:-1]
-    y2d = int4_matmul(
-        x.reshape(-1, x.shape[-1]), p["kernel_q4"], p["kernel_scale"],
-        force_xla=force_xla,
+# ---------------------------------------------------------------------------
+# Backward kernel: dx = dy @ W^T (QLoRA training with a frozen int4 base —
+# only the activation cotangent is needed; the packed kernel never gets a
+# gradient). The split-half packing means one 64-row packed block unpacks to
+# two NON-contiguous 64-row stripes of `in`, so the kernel writes two
+# outputs (low-half dx, high-half dx) that the wrapper concatenates.
+
+
+def _int4_matmul_t_kernel(
+    dy_ref,  # (T_blk, out) bf16
+    p_ref,  # (64, out) int8 packed rows for THIS in-block
+    s_ref,  # (1, 2, out) bf16 — [low group scale; high group scale]
+    lo_ref,  # (T_blk, 64) dx low-half block
+    hi_ref,  # (T_blk, 64)
+    *,
+    o_blk: int,
+):
+    d_out = dy_ref.shape[1]
+    t_blk = dy_ref.shape[0]
+    dims = (((1,), (1,)), ((), ()))  # contract both operands' `out` dim
+
+    def body(j, accs):
+        alo, ahi = accs
+        pb = p_ref[:, pl.ds(j * o_blk, o_blk)]  # (64, o_blk)
+        dyb = dy_ref[:, pl.ds(j * o_blk, o_blk)]
+        lo = jnp.right_shift(jnp.left_shift(pb, 4), 4).astype(jnp.bfloat16)
+        hi = jnp.right_shift(pb, 4).astype(jnp.bfloat16)
+        slo = s_ref[0, pl.ds(0, 1), pl.ds(j * o_blk, o_blk)]  # (1, o_blk)
+        shi = s_ref[0, pl.ds(1, 1), pl.ds(j * o_blk, o_blk)]
+        wlo = lo * slo  # dequantized (64, o_blk) stripes
+        whi = hi * shi
+        alo = alo + jax.lax.dot_general(
+            dyb, wlo, dims, preferred_element_type=jnp.float32
+        )
+        ahi = ahi + jax.lax.dot_general(
+            dyb, whi, dims, preferred_element_type=jnp.float32
+        )
+        return alo, ahi
+
+    z = jnp.zeros((t_blk, GROUP), jnp.float32)
+    alo, ahi = jax.lax.fori_loop(0, d_out // o_blk, body, (z, z))
+    lo_ref[...] = alo.astype(lo_ref.dtype)
+    hi_ref[...] = ahi.astype(hi_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("force_xla",))
+def int4_matmul_t(
+    dy2d: jax.Array,  # (T, out)
+    packed: jax.Array,  # (in/2, out)
+    scale: jax.Array,  # (in/64, out)
+    force_xla: bool = False,
+) -> jax.Array:
+    """dx = dy @ dequant(packed, scale)^T without materializing the kernel."""
+    t, d_out = dy2d.shape
+    half = packed.shape[0]
+    d_in = 2 * half
+    if force_xla:
+        w = dequantize_kernel_int4(packed, scale, dy2d.dtype)
+        return dy2d @ w.T
+
+    o_blk = 256 if d_out % 256 == 0 else 128
+    pad_o = (-d_out) % o_blk
+    dyp = dy2d
+    if pad_o:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_o)))
+        scale = jnp.pad(scale, ((0, 0), (0, pad_o)))
+        dyp = jnp.pad(dyp, ((0, 0), (0, pad_o)))
+    # keep the (t_blk, out) dy block under ~6 MB of VMEM (wide-vocab heads)
+    fit = max(8, (6 * 2**20) // (2 * (d_out + pad_o)) // 8 * 8)
+    t_blk = min(256, max(8, -(-t // 8) * 8), fit)
+    pad_t = (-t) % t_blk
+    if pad_t:
+        dyp = jnp.pad(dyp, ((0, pad_t), (0, 0)))
+    n_half_groups = half // GROUP
+    # scales rows regrouped per packed block: [low_j, high_j] pairs
+    s2 = jnp.stack(
+        [scale[:n_half_groups], scale[n_half_groups:]], axis=1
+    )  # (half/64, 2, out)
+
+    lo, hi = pl.pallas_call(
+        functools.partial(_int4_matmul_t_kernel, o_blk=o_blk),
+        grid=((t + pad_t) // t_blk, half // GROUP),
+        in_specs=[
+            pl.BlockSpec((t_blk, d_out + pad_o), lambda ti, ji: (ti, 0)),
+            pl.BlockSpec((GROUP, d_out + pad_o), lambda ti, ji: (ji, 0)),
+            pl.BlockSpec(
+                (1, 2, d_out + pad_o), lambda ti, ji: (ji, 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_blk, GROUP), lambda ti, ji: (ti, ji)),
+            pl.BlockSpec((t_blk, GROUP), lambda ti, ji: (ti, ji)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t + pad_t, half), dy2d.dtype),
+            jax.ShapeDtypeStruct((t + pad_t, half), dy2d.dtype),
+        ],
+        interpret=_interpret(),
+    )(dyp.astype(jnp.bfloat16), packed, s2)
+    return jnp.concatenate([lo[:t], hi[:t]], axis=1)
+
+
+@jax.custom_vjp
+def _int4_mm_diff(x2d, packed, scale):
+    return int4_matmul(x2d, packed, scale)
+
+
+def _int4_mm_fwd(x2d, packed, scale):
+    return int4_matmul(x2d, packed, scale), (packed, scale)
+
+
+def _int4_mm_bwd(res, g):
+    import numpy as np
+
+    packed, scale = res
+    # the primal output has x2d's dtype, so g's dtype is x2d's dtype
+    dx = int4_matmul_t(g.astype(jnp.bfloat16), packed, scale).astype(g.dtype)
+    # the frozen base gets no gradient: float0 cotangents for int8 codes
+    # and an explicit zero for the (tiny) scales
+    return (
+        dx,
+        np.zeros(packed.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale),
     )
+
+
+_int4_mm_diff.defvjp(_int4_mm_fwd, _int4_mm_bwd)
+
+
+def int4_apply(p: dict, x: jax.Array, force_xla: bool = False) -> jax.Array:
+    """linear()'s int4 branch: (..., in) @ packed kernel -> (..., out).
+    Differentiable w.r.t. x (custom VJP; QLoRA training over a frozen int4
+    base) — the packed kernel and scales receive no gradient."""
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    if force_xla:
+        y2d = int4_matmul(x2d, p["kernel_q4"], p["kernel_scale"],
+                          force_xla=True)
+    else:
+        y2d = _int4_mm_diff(x2d, p["kernel_q4"], p["kernel_scale"])
     return y2d.reshape(*lead, y2d.shape[-1]).astype(x.dtype)
