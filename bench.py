@@ -97,7 +97,7 @@ def _anyres_example_batch(cfg, n_pairs, seq, img_px=672, key=None):
 
 def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
                  quantize=False, dpo_kwargs=None, quant_patterns=None,
-                 with_plora=False, anyres_px=0):
+                 with_plora=False, anyres_px=0, bits=8):
     """Returns (pairs_per_sec, step_ms, mfu, params_b). NOTE:
     block_until_ready does not synchronize over the axon tunnel; fetching a
     value does."""
@@ -128,7 +128,8 @@ def _measure_dpo(cfg, n_pairs, seq, n_steps, n_warmup, precompute_ref,
 
         pats = quant_patterns or TRAIN_QUANT_PATTERNS
         params = jax.jit(
-            lambda k: quantize_params(init_vlm_params(cfg, k), pats)
+            lambda k: quantize_params(init_vlm_params(cfg, k), pats,
+                                      bits=bits)
         )(jax.random.PRNGKey(0))
     else:
         params = jax.jit(lambda k: init_vlm_params(cfg, k))(jax.random.PRNGKey(0))

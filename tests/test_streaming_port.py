@@ -148,6 +148,62 @@ def test_quantize_during_port_matches_post_quantize(tmp_path):
             np.testing.assert_array_equal(af, bf)
 
 
+def test_quantize_during_port_int4_matches_post_quantize(tmp_path):
+    """port_quantize(bits=4): host split-half nibble packing during the
+    stream must match port-then-quantize_params(bits=4) on device — same
+    tree structure, bitwise-equal bf16 group scales, packed codes equal up
+    to the same ±1 round-half-tie wobble as int8 (a ±1 nibble shows as ±1
+    or ±16 in the packed byte, so compare UNPACKED codes)."""
+    import jax
+
+    from vlrlhf_tpu.ops.int4 import unpack_int4
+    from vlrlhf_tpu.ops.quant import DEFAULT_QUANT_PATTERNS, quantize_params
+
+    sd = _llama_sd(hidden=128, inter=256)
+    _write_shards(sd, tmp_path)
+    lazy = hf_port.open_hf_state_dict(str(tmp_path))
+
+    with hf_port.port_dtype(jnp.bfloat16), hf_port.port_quantize(
+        DEFAULT_QUANT_PATTERNS, bits=4
+    ):
+        streamed = {"lm": hf_port.port_llama_lm(lazy, 2)}
+    streamed = jax.jit(
+        lambda p: quantize_params(p, DEFAULT_QUANT_PATTERNS, bits=4)
+    )(streamed)
+
+    with hf_port.port_dtype(jnp.bfloat16):
+        dense = {"lm": hf_port.port_llama_lm(sd, 2)}
+    want = jax.jit(
+        lambda p: quantize_params(p, DEFAULT_QUANT_PATTERNS, bits=4)
+    )(dense)
+
+    assert jax.tree.structure(streamed) == jax.tree.structure(want)
+    stack = streamed["lm"]["layers_scanned"]
+    assert stack["attn"]["wq"]["kernel_q4"].dtype == jnp.int8
+    assert stack["attn"]["wq"]["kernel_q4"].shape == (2, 64, 128)
+    assert streamed["lm"]["lm_head"]["kernel_q4"].dtype == jnp.int8
+
+    def leaves_with_paths(t):
+        from vlrlhf_tpu.core.partitioning import tree_paths
+
+        return tree_paths(t)
+
+    got = dict(leaves_with_paths(streamed))
+    exp = dict(leaves_with_paths(want))
+    for path, a in got.items():
+        b = exp[path]
+        if path.endswith("kernel_q4"):
+            au = np.asarray(unpack_int4(a.reshape(-1, a.shape[-1])), np.int32)
+            bu = np.asarray(unpack_int4(b.reshape(-1, b.shape[-1])), np.int32)
+            diff = np.abs(au - bu)
+            assert diff.max() <= 1, (path, diff.max())
+            assert (diff > 0).mean() < 0.01, (path, (diff > 0).mean())
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), path
+            )
+
+
 _RSS_WORKER = r"""
 import json, os, resource, sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -12,7 +12,10 @@ Measured 2026-08-17 on one v5e:
   internlm_xc2       0.70 pairs/s  44.7% MFU  (attn; seq 2048, built-in
                                                PLoRA riding)
 
-Usage: python tools/family_bench.py [family ...]
+Usage: python tools/family_bench.py [--bits4] [family ...]
+  --bits4: int4 frozen base (ops/int4.py) instead of int8 — quarter param
+  HBM buys more pairs/remat; measures the training-throughput tradeoff of
+  the Pallas dequant-matmul forward + custom-VJP backward.
 """
 import dataclasses
 import sys
@@ -43,6 +46,11 @@ CONFIGS = {
 
 def main(families):
     assert jax.default_backend() == "tpu"
+    bits = 8
+    if "--bits4" in families:
+        families = [f for f in families if f != "--bits4"]
+        bits = 4
+    families = families or list(CONFIGS)
     bench._compile_cache()
     for fam in families:
         policy, seq, plora, anyres_px = CONFIGS[fam]
@@ -55,7 +63,7 @@ def main(families):
                 cfg, n_pairs=1, seq=seq, n_steps=5, n_warmup=2,
                 precompute_ref=True, quantize=True,
                 quant_patterns=TRAIN_QUANT_PATTERNS_WIDE, with_plora=plora,
-                anyres_px=anyres_px,
+                anyres_px=anyres_px, bits=bits,
             )
             tag = f", anyres {anyres_px}px" if anyres_px else ""
             print(f"{fam:20s} {pps:5.2f} pairs/s  {mfu*100:4.1f}% MFU  "
@@ -65,4 +73,4 @@ def main(families):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or list(CONFIGS))
+    main(sys.argv[1:])

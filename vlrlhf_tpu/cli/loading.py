@@ -189,6 +189,7 @@ def load_model_bundle(
     max_length: int = 1024,
     max_prompt_length: int = 512,
     quantize_patterns: Optional[tuple] = None,
+    quantize_bits: int = 8,
 ):
     """Full production load: config + weights + tokenizer + processor.
 
@@ -219,7 +220,7 @@ def load_model_bundle(
     family, cfg = config_from_hf(hf, dtype)
     sd = open_hf_state_dict(path)
     qctx = (
-        port_quantize(quantize_patterns)
+        port_quantize(quantize_patterns, bits=quantize_bits)
         if quantize_patterns
         else contextlib.nullcontext()
     )
@@ -234,7 +235,9 @@ def load_model_bundle(
         # lm_head / projector (non-stacked) matches; already-quantized
         # stacks pass through untouched ("kernel_q" dicts are not linears)
         params = jax.jit(
-            lambda p: quantize_params(p, quantize_patterns), donate_argnums=0
+            lambda p: quantize_params(p, quantize_patterns,
+                                      bits=quantize_bits),
+            donate_argnums=0,
         )(params)
     tokenizer = HFTokenizer.from_pretrained(path, trust_remote_code=True)
     overrides: dict = dict(

@@ -160,21 +160,23 @@ def _load_bundle(args):
         qpats = None
         from vlrlhf_tpu.ops import quant as _q
 
-        if getattr(args, "quantize", False):
+        # eval's --quantize is a string mode (false/true/int8/int4);
+        # training CLIs have no such flag (getattr default "false")
+        qmode = str(getattr(args, "quantize", "false")).lower()
+        qbits = {"false": 0, "true": 8, "int8": 8, "int4": 4}[qmode]
+        if qbits:
             qpats = (_q.SERVE_QUANT_PATTERNS_WIDE
                      if getattr(args, "judge_model_path", "")
                      else _q.DEFAULT_QUANT_PATTERNS)
-        elif (getattr(args, "q_lora", False)
-              and getattr(args, "use_lora", True)
-              and getattr(args, "bits", 8) == 8):
-            # bits=4 skips the host-side during-port quantization (the port
-            # twin is int8-only) and quantizes device-side below instead
+        elif getattr(args, "q_lora", False) and getattr(args, "use_lora", True):
+            qbits = getattr(args, "bits", 8)
             qpats = (_q.TRAIN_QUANT_PATTERNS_WIDE
                      if getattr(args, "q_lora_vision", False)
                      else _q.TRAIN_QUANT_PATTERNS)
         bundle = load_model_bundle(
             args.model_name_or_path, dtype, args.max_length,
             args.max_prompt_length, quantize_patterns=qpats,
+            quantize_bits=qbits or 8,
         )
     lm_overrides = {}
     if getattr(args, "sequence_parallel_axis", ""):

@@ -93,6 +93,27 @@ def dequantize_kernel_int4(
     return (q * s).astype(dtype)
 
 
+def quantize_kernel_int4_np(k):
+    """Host (numpy) twin of quantize_kernel_int4 — used by the streaming
+    porter's quantize-during-port mode (utils/hf_port.port_quantize bits=4):
+    per-layer kernels pack ON HOST so a 7B int4 load's device transient is
+    the ~3.3 GiB packed stack, never the bf16 model. Same math (f32 group
+    amax, symmetric /7, round-half-even, split-half nibble packing).
+    k: (in, out) -> ((in/2, out) int8, (in/64, out) bf16)."""
+    import ml_dtypes
+    import numpy as np
+
+    din, dout = k.shape
+    assert din % (2 * GROUP) == 0, f"in={din} not divisible by {2 * GROUP}"
+    kf = np.asarray(k, np.float32).reshape(din // GROUP, GROUP, dout)
+    amax = np.max(np.abs(kf), axis=1, keepdims=True)
+    scale = np.where(amax > 0, amax / 7.0, 1.0)
+    q = np.clip(np.round(kf / scale), -8, 7).astype(np.int8).reshape(din, dout)
+    half = din // 2
+    packed = ((q[:half] & np.int8(0x0F)) | (q[half:] << 4)).astype(np.int8)
+    return packed, scale[:, 0, :].astype(ml_dtypes.bfloat16)
+
+
 def quantize_linear_int4(p: dict) -> dict:
     """Quantize one linear param dict; stacked (L, in, out) kernels map
     layer-by-layer (bounded f32 working set, same as ops/quant.py int8)."""

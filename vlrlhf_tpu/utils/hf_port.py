@@ -27,7 +27,8 @@ StateDict = Mapping[str, np.ndarray]
 
 _DEV_CAST = None  # set by port_dtype(); floating tensors cast host-side
 _DEV_HOST = False  # inside _stack: keep tensors numpy until stacked
-_QUANT_REGS = None  # set by port_quantize(); per-layer host int8 quantize
+_QUANT_REGS = None  # set by port_quantize(); per-layer host quantize
+_QUANT_BITS = 8  # 8 = int8; 4 = group-wise packed int4 (ops/int4.py)
 
 
 def _dev(x):
@@ -66,7 +67,7 @@ def port_dtype(dtype):
 
 
 @contextlib.contextmanager
-def port_quantize(patterns):
+def port_quantize(patterns, bits: int = 8):
     """Quantize-during-port: linears under a `_stack(..., path=...)` whose
     '/'-joined module path matches any pattern are int8-quantized ON HOST
     (ops/quant.quantize_kernel_np), per layer, before device transfer. The
@@ -80,13 +81,14 @@ def port_quantize(patterns):
     (/root/reference/src/vlrlhf/utils/auto_load.py:509-578 q_lora/bits)."""
     import re as _re
 
-    global _QUANT_REGS
-    prev = _QUANT_REGS
+    global _QUANT_REGS, _QUANT_BITS
+    prev, prev_bits = _QUANT_REGS, _QUANT_BITS
     _QUANT_REGS = [_re.compile(p) for p in patterns]
+    _QUANT_BITS = bits
     try:
         yield
     finally:
-        _QUANT_REGS = prev
+        _QUANT_REGS, _QUANT_BITS = prev, prev_bits
 
 
 def _quant_layer_host(tree, path: str):
@@ -100,8 +102,14 @@ def _quant_layer_host(tree, path: str):
             # kind check, not issubdtype: ml_dtypes' bfloat16 (what
             # port_dtype casts to host-side) is not an np.floating subclass
             if isinstance(k, np.ndarray) and k.dtype.kind not in "iub":
-                q, scale = quantize_kernel_np(k)
-                out = {"kernel_q": q, "kernel_scale": scale}
+                if _QUANT_BITS == 4 and k.shape[0] % 128 == 0:
+                    from vlrlhf_tpu.ops.int4 import quantize_kernel_int4_np
+
+                    q, scale = quantize_kernel_int4_np(k)
+                    out = {"kernel_q4": q, "kernel_scale": scale}
+                else:  # int8 (also the int4 fallback for narrow linears)
+                    q, scale = quantize_kernel_np(k)
+                    out = {"kernel_q": q, "kernel_scale": scale}
                 if "bias" in tree:
                     out["bias"] = tree["bias"]
                 return out
