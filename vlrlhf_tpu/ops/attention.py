@@ -25,6 +25,12 @@ import jax.numpy as jnp
 NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free
 
 
+def _global_mesh_or_none():
+    from vlrlhf_tpu.core import mesh as _m
+
+    return _m._GLOBAL_MESH
+
+
 def make_attention_mask(
     pad_mask_q: jax.Array,  # (B, Sq) 1 = real token
     pad_mask_kv: jax.Array,  # (B, Skv)
@@ -108,16 +114,59 @@ def multi_head_attention(
     if use_pallas:
         from vlrlhf_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(
-            q,
-            k,
-            v,
-            causal=causal,
-            pad_mask_q=pad_mask_q,
-            pad_mask_kv=pad_mask_kv,
-            segment_ids_q=segment_ids_q,
-            segment_ids_kv=segment_ids_kv,
-            scale=scale,
+        def _flash(q, k, v, pq, pkv, sq_, skv_):
+            return flash_attention(
+                q, k, v, causal=causal,
+                pad_mask_q=pq, pad_mask_kv=pkv,
+                segment_ids_q=sq_, segment_ids_kv=skv_, scale=scale,
+            )
+
+        # TENSOR PARALLELISM: pallas_call has no GSPMD partitioning rule —
+        # with model-sharded heads XLA would replicate the kernel (gather
+        # every operand to every chip). Under a model>1 global mesh, run
+        # the kernel per head-shard via shard_map: attention is
+        # embarrassingly parallel over heads (contiguous blocks keep GQA
+        # grouping intact), zero collectives. Differentiates through the
+        # kernel's custom VJP unchanged.
+        mesh = _global_mesh_or_none()
+        tp = 1 if mesh is None else dict(mesh.shape).get("model", 1)
+        nh, nkv = q.shape[2], k.shape[2]
+        if tp > 1 and {"data", "fsdp", "model"} <= set(mesh.axis_names) \
+                and nh % tp == 0 and nkv % tp == 0 \
+                and b % (dict(mesh.shape)["data"]
+                         * dict(mesh.shape)["fsdp"]) == 0:
+            from jax.sharding import PartitionSpec as _P
+
+            bb = ("data", "fsdp")
+            hspec = _P(bb, None, "model", None)
+            mspec = _P(bb, None)
+
+            def local(q, k, v, pq, pkv, sq_, skv_):
+                return _flash(q, k, v, pq, pkv, sq_, skv_)
+
+            ones_q = (
+                pad_mask_q if pad_mask_q is not None
+                else jnp.ones((b, sq), bool)
+            )
+            ones_kv = (
+                pad_mask_kv if pad_mask_kv is not None
+                else jnp.ones((b, skv), bool)
+            )
+            seg_q = (
+                segment_ids_q if segment_ids_q is not None
+                else jnp.zeros((b, sq), jnp.int32)
+            )
+            seg_kv = (
+                segment_ids_kv if segment_ids_kv is not None
+                else jnp.zeros((b, skv), jnp.int32)
+            )
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(hspec, hspec, hspec, mspec, mspec, mspec, mspec),
+                out_specs=hspec, check_vma=False,
+            )(q, k, v, ones_q, ones_kv, seg_q, seg_kv)
+        return _flash(
+            q, k, v, pad_mask_q, pad_mask_kv, segment_ids_q, segment_ids_kv
         )
     if pad_mask_q is None:
         pad_mask_q = jnp.ones((b, sq), dtype=bool)

@@ -47,6 +47,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _global_mesh_or_none():
+    from vlrlhf_tpu.core import mesh as _m
+
+    return _m._GLOBAL_MESH
+
+
 def _decode_kernel(
     len_ref,  # (B, 1) SMEM — current position per batch row
     q_ref,  # (1, nkv, g, hd)
@@ -201,6 +207,7 @@ def decode_attention(
     force_xla: bool = False,
     k_scale: jax.Array | None = None,  # (B, nkv, S) or (L, B, nkv, S):
     v_scale: jax.Array | None = None,  # int8 cache per-vector scales
+    _tp: bool = True,  # internal: False inside the shard_map re-entry
 ) -> jax.Array:
     """When `layer` is given the caches are the FULL stacked (L, B, nkv, S,
     hd) buffers and the kernel block-indexes into layer `layer` directly —
@@ -211,7 +218,17 @@ def decode_attention(
     An int8 cache (k_scale/v_scale given) halves cache DMA bytes: the kernel
     folds k scales into the scores and v scales into the softmax weights, so
     dequantization never materializes (B, nkv, S, hd) floats. The CURRENT
-    token's k/v stay bf16 (the self term is exact)."""
+    token's k/v stay bf16 (the self term is exact).
+
+    TENSOR PARALLELISM: pallas_call has no GSPMD partitioning rule, so with
+    model-axis-sharded heads XLA would REPLICATE the custom call — an
+    all-gather of the multi-GB cache to every chip per token. When the
+    registered global mesh has model > 1 the call re-enters itself under
+    `jax.shard_map(axis_names={"model"})` (partial-manual: batch sharding
+    stays with GSPMD): each shard runs the kernel over its own kv-head
+    slice of the cache — attention is embarrassingly parallel over heads,
+    zero collectives. Head blocks are contiguous, so GQA grouping survives
+    the split (q head h reads kv head h // g on every shard)."""
     b, nh, hd = q.shape
     if layer is None:
         nkv, s_len = k_cache.shape[1], k_cache.shape[2]
@@ -219,6 +236,51 @@ def decode_attention(
         nkv, s_len = k_cache.shape[2], k_cache.shape[3]
     scale = hd**-0.5 if scale is None else scale
     quantized = k_scale is not None
+
+    mesh = _global_mesh_or_none()
+    tp = 1 if mesh is None else dict(mesh.shape).get("model", 1)
+    if mesh is not None and _tp and not force_xla and tp > 1 \
+            and {"data", "fsdp", "model"} <= set(mesh.axis_names):
+        ndp = dict(mesh.shape)["data"] * dict(mesh.shape)["fsdp"]
+        if nh % tp == 0 and nkv % tp == 0 and b % ndp == 0:
+            from jax.sharding import PartitionSpec as _P
+
+            bb = ("data", "fsdp")
+            cache_spec = (
+                _P(None, bb, "model", None, None)
+                if layer is not None
+                else _P(bb, "model", None, None)
+            )
+            sc_spec = (
+                _P(None, bb, "model", None)
+                if layer is not None
+                else _P(bb, "model", None)
+            )
+            operands = [q, k_cache, v_cache, k_cur, v_cur, lengths]
+            specs = [
+                _P(bb, "model", None), cache_spec, cache_spec,
+                _P(bb, "model", None), _P(bb, "model", None), _P(bb),
+            ]
+            if quantized:
+                operands += [k_scale, v_scale]
+                specs += [sc_spec, sc_spec]
+
+            def local(*args):
+                qq, kc, vc, kcur, vcur, lens = args[:6]
+                ks = vs = None
+                if quantized:
+                    ks, vs = args[6], args[7]
+                return decode_attention(
+                    qq, kc, vc, kcur, vcur, lens, scale=scale,
+                    block_s=block_s, layer=layer, k_scale=ks, v_scale=vs,
+                    _tp=False,
+                )
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=tuple(specs), out_specs=_P(bb, "model", None),
+                check_vma=False,
+            )(*operands)
 
     def _xla():
         kc = k_cache if layer is None else k_cache[layer]
