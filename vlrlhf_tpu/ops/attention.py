@@ -131,7 +131,11 @@ def multi_head_attention(
         mesh = _global_mesh_or_none()
         tp = 1 if mesh is None else dict(mesh.shape).get("model", 1)
         nh, nkv = q.shape[2], k.shape[2]
-        if tp > 1 and {"data", "fsdp", "model"} <= set(mesh.axis_names) \
+        # Engage for ANY multi-device mesh (not just model>1): batch-sharded
+        # q/k/v under a plain dp/fsdp training mesh would also be gathered
+        # to every chip around the unpartitionable custom call.
+        if mesh is not None and mesh.devices.size > 1 \
+                and {"data", "fsdp", "model"} <= set(mesh.axis_names) \
                 and nh % tp == 0 and nkv % tp == 0 \
                 and b % (dict(mesh.shape)["data"]
                          * dict(mesh.shape)["fsdp"]) == 0:

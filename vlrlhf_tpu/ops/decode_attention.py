@@ -239,8 +239,12 @@ def decode_attention(
 
     mesh = _global_mesh_or_none()
     tp = 1 if mesh is None else dict(mesh.shape).get("model", 1)
-    if mesh is not None and _tp and not force_xla and tp > 1 \
+    if mesh is not None and _tp and not force_xla \
+            and mesh.devices.size > 1 \
             and {"data", "fsdp", "model"} <= set(mesh.axis_names):
+        # Engage for ANY multi-device mesh: batch-sharded operands under a
+        # plain dp/fsdp mesh hit the same replication wall as model-sharded
+        # heads (the custom call is unpartitionable either way).
         ndp = dict(mesh.shape)["data"] * dict(mesh.shape)["fsdp"]
         if nh % tp == 0 and nkv % tp == 0 and b % ndp == 0:
             from jax.sharding import PartitionSpec as _P
