@@ -211,6 +211,78 @@ def test_int4_qlora_dpo_step():
     assert losses[-1] < losses[0] - 1e-3, losses
 
 
+def _vlm128():
+    from tests.test_dpo_step import IMG_TOKEN, N_IMG_TOKENS
+    from vlrlhf_tpu.models.lm.llama import LMConfig
+    from vlrlhf_tpu.models.vision.vit import ViTConfig
+    from vlrlhf_tpu.models.vlm import ProjectorConfig, VLMConfig
+
+    return VLMConfig(
+        lm=LMConfig(
+            vocab_size=128, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=4,
+            dtype=jnp.float32, remat=False,
+        ),
+        vision=ViTConfig(
+            image_size=16, patch_size=4, hidden_size=16, num_layers=2,
+            num_heads=2, mlp_dim=32, feature_layer=-2,
+            drop_class_token=True, dtype=jnp.float32, remat=False,
+        ),
+        projector=ProjectorConfig(kind="mlp2x_gelu", in_dim=16, out_dim=128),
+        image_token_id=IMG_TOKEN,
+        num_image_tokens=N_IMG_TOKENS,
+    )
+
+
+def test_int4_engine_generate_fused_kv8_e2e():
+    """Serving stack end to end over int4 weights: Generator greedy decode
+    (empty-prefill + device while_loop), int8 KV cache, fused wqkv/gateup —
+    tokens must match the same int4 model served unfused/bf16-cache."""
+    from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
+    from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+    from vlrlhf_tpu.ops.quant import quantize_params
+
+    cfg = _vlm128()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(20))
+    q4 = quantize_params(params, bits=4)
+    assert "kernel_q4" in q4["lm"]["layers_scanned"]["attn"]["wq"]
+
+    L, lens = 16, [12, 16]
+    ids = jax.random.randint(jax.random.PRNGKey(21), (2, L), 5, 90)
+    batch = {
+        "input_ids": ids,
+        "pad_mask": jnp.arange(L)[None, :] < jnp.asarray(lens)[:, None],
+        "prompt_lens": jnp.asarray(lens, jnp.int32),
+        "pixel_values": None,
+        "image_positions": None,
+    }
+    base_tokens = np.asarray(
+        Generator(cfg, GenerateConfig(max_new_tokens=5, pad_token_id=0))(
+            q4, batch
+        )
+    )
+    fused = fuse_vlm_params(q4)
+    kv8_tokens = np.asarray(
+        Generator(
+            cfg,
+            GenerateConfig(
+                max_new_tokens=5, pad_token_id=0, kv_cache_dtype="int8"
+            ),
+        )(fused, batch)
+    )
+    # int8 KV adds cache quantization noise on top of int4 weights — allow
+    # divergence only after the traces first differ (greedy determinism),
+    # and require the FIRST token to agree.
+    np.testing.assert_array_equal(base_tokens[:, 0], kv8_tokens[:, 0])
+    fused_tokens = np.asarray(
+        Generator(cfg, GenerateConfig(max_new_tokens=5, pad_token_id=0))(
+            fused, batch
+        )
+    )
+    np.testing.assert_array_equal(base_tokens, fused_tokens)
+
+
 def test_fused_int4_parity():
     from tests.test_fuse import _prefill_and_decode
     from vlrlhf_tpu.models.lm.fuse import fuse_lm_params
