@@ -38,6 +38,8 @@ SEGMENTS = [
     ("db_int4", [sys.executable, "tools/decode_bench.py", "--int4"], 1200),
     ("db_int4f", [sys.executable, "tools/decode_bench.py", "--int4",
                   "--fuse"], 1200),
+    ("spec", [sys.executable, "tools/spec_bench.py", "--7b", "--int8"],
+     1500),
     ("eval_gen", [sys.executable, "bench.py", "--eval"], 1800),
     ("cores", [sys.executable, "tools/judge_coresidency.py"], 1800),
     ("fam4", [sys.executable, "tools/family_bench.py", "--bits4", "llava"],

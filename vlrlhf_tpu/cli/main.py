@@ -997,6 +997,7 @@ def cmd_eval(args):
             tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
         ),
         continuous_batching=args.continuous_batching,
+        speculative_k=args.speculative_k,
     )
     if args.synthetic:
         runner.image_loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)
@@ -1153,6 +1154,11 @@ def build_parser() -> argparse.ArgumentParser:
                    type=lambda x: x.lower() == "true", default=False,
                    help="fused wqkv/gateup serving weights: fewer, wider "
                         "HBM streams per decode layer (models/lm/fuse)")
+    p.add_argument("--speculative_k", type=int, default=0,
+                   help=">0: exact-greedy speculative decoding with this "
+                        "draft length (prompt-lookup drafts verified in "
+                        "one chunked forward — identical tokens, fewer "
+                        "dispatches; generate/speculative.py)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

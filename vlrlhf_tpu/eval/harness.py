@@ -43,11 +43,23 @@ class EvalRunner:
     # slot-refill continuous batching for run_vqa (generate/continuous.py);
     # batch_size then sets the number of SLOTS
     continuous_batching: bool = False
+    # >0: exact-greedy speculative decoding with this draft length
+    # (generate/speculative.py prompt-lookup; identical tokens, fewer
+    # dispatches). Ignored under continuous batching.
+    speculative_k: int = 0
 
     def __post_init__(self):
-        self._gen = Generator(
-            self.model_cfg, self.gen_cfg, self.adapters, self.lora_scale
-        )
+        if self.speculative_k > 0 and not self.gen_cfg.do_sample:
+            from vlrlhf_tpu.generate.speculative import SpeculativeGenerator
+
+            self._gen = SpeculativeGenerator(
+                self.model_cfg, self.gen_cfg, self.adapters,
+                self.lora_scale, k_draft=self.speculative_k,
+            )
+        else:
+            self._gen = Generator(
+                self.model_cfg, self.gen_cfg, self.adapters, self.lora_scale
+            )
         self._gen_collator = GenerationCollator(
             self.processor, self.collator_cfg, self.image_loader
         )

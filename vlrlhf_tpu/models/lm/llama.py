@@ -471,6 +471,9 @@ def lm_prefill_chunk(
     input_embeds: Optional[jax.Array] = None,  # (B, C, D): pre-merged chunk
     # embeddings (continuous batching merges image features into prompt
     # chunks before the LM sees them; input_ids is then ignored)
+    return_all_logits: bool = False,  # (B, C, V) instead of the last real
+    # position's (B, V) — the speculative-decoding VERIFY step needs the
+    # greedy continuation at every draft position (generate/speculative.py)
 ):
     """Prefill a chunk into a NON-EMPTY cache (multi-turn serving — the
     reference's sglang role has this; round 1's engine assumed an empty
@@ -480,7 +483,9 @@ def lm_prefill_chunk(
     affordable; a Pallas chunk kernel is a later optimization).
 
     Returns (last_logits (B, V) — the chunk's last real position's logits,
-    the only ones a serving turn samples from — new_cache, new_lengths)."""
+    the only ones a serving turn samples from — new_cache, new_lengths);
+    with return_all_logits, logits are (B, C, V) for every chunk position
+    (draft chunks are short, so the buffer is small)."""
     ctx = ctx or Ctx()
     b, c = input_ids.shape
     sc = cache["k"].shape[3]
@@ -585,12 +590,13 @@ def lm_prefill_chunk(
         x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
 
     hidden = rms_norm(x, params["norm"]["weight"], cfg.rms_eps)
-    # Only the chunk's LAST real position seeds the next sampled token —
-    # gather it before the head ((B, 1, H) @ (H, V) instead of a (B, C, V)
-    # buffer + C x the head FLOPs).
-    hidden = jnp.take_along_axis(
-        hidden, (chunk_lens - 1)[:, None, None], axis=1
-    )
+    if not return_all_logits:
+        # Only the chunk's LAST real position seeds the next sampled token —
+        # gather it before the head ((B, 1, H) @ (H, V) instead of a
+        # (B, C, V) buffer + C x the head FLOPs).
+        hidden = jnp.take_along_axis(
+            hidden, (chunk_lens - 1)[:, None, None], axis=1
+        )
     if cfg.tie_embeddings:
         logits = hidden @ params["embed_tokens"]["embedding"].astype(
             hidden.dtype
@@ -600,7 +606,8 @@ def lm_prefill_chunk(
     new_cache = {"k": ck_all, "v": cv_all}
     if quantized_cache:
         new_cache["k_scale"], new_cache["v_scale"] = ks_all, vs_all
-    return logits[:, 0], new_cache, lengths + chunk_lens
+    out_logits = logits if return_all_logits else logits[:, 0]
+    return out_logits, new_cache, lengths + chunk_lens
 
 
 def lm_forward(
