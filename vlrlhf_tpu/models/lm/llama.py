@@ -518,17 +518,16 @@ def lm_prefill_chunk(
         ck_all = ck_all.at[li, pbi, phi, ppos].set(pk, mode="drop")
         cv_all = cv_all.at[li, pbi, phi, ppos].set(pv_, mode="drop")
 
-    from vlrlhf_tpu.ops.attention import _repeat_kv, reference_attention
-
     chunk_valid = jnp.arange(c)[None, :] < chunk_lens[:, None]  # (B, C)
-    # query at position p attends cache slots <= p; padded chunk rows inert
-    slot = jnp.arange(sc)[None, None, :]
-    attend = (slot <= positions[:, :, None]) & chunk_valid[:, :, None]
-    attend = attend[:, None]  # (B, 1, C, Sc)
     bi = jnp.arange(b)[:, None, None]
     hi = jnp.arange(nkv)[None, :, None]
     # pad-row writes park at slot Sc (OOB -> dropped)
     write_pos = jnp.where(chunk_valid, positions, sc)  # (B, C)
+    # Pallas chunk attention (ops/chunk_attention.py) streams cache blocks
+    # once — no (B, nh, C, Sc) f32 scores, no per-layer dequantized cache
+    # copy, stacked-cache block indexing (an XLA slice materializes). Pad
+    # queries produce garbage no one reads (their kv never landed).
+    use_kernel = (ctx.attn_impl != "xla")
 
     for i in range(cfg.num_layers):
         lp = jax.tree.map(lambda a: a[i], params["layers_scanned"])
@@ -560,16 +559,6 @@ def lm_prefill_chunk(
             vs_all = vs_all.at[i, bi, hi, write_pos[:, None, :]].set(
                 vs, mode="drop"
             )
-            # dense chunk attention reads the whole (small) session cache —
-            # dequantize per layer (this is the per-turn path, not per-token)
-            ck_f = (
-                ck_all[i].astype(jnp.float32)
-                * ks_all[i][..., None].astype(jnp.float32)
-            ).astype(cfg.dtype)
-            cv_f = (
-                cv_all[i].astype(jnp.float32)
-                * vs_all[i][..., None].astype(jnp.float32)
-            ).astype(cfg.dtype)
         else:
             ck_all = ck_all.at[i, bi, hi, write_pos[:, None, :]].set(
                 kt.astype(ck_all.dtype), mode="drop"
@@ -577,12 +566,12 @@ def lm_prefill_chunk(
             cv_all = cv_all.at[i, bi, hi, write_pos[:, None, :]].set(
                 vt.astype(cv_all.dtype), mode="drop"
             )
-            ck_f, cv_f = ck_all[i], cv_all[i]
-        out = reference_attention(
-            q,
-            _repeat_kv(jnp.transpose(ck_f, (0, 2, 1, 3)), nh // nkv),
-            _repeat_kv(jnp.transpose(cv_f, (0, 2, 1, 3)), nh // nkv),
-            mask=attend,
+        from vlrlhf_tpu.ops.chunk_attention import chunk_attention
+
+        out = chunk_attention(
+            q, ck_all, cv_all, lengths, layer=i,
+            k_scale=ks_all, v_scale=vs_all,
+            force_xla=not use_kernel,
         )
         out = linear(lp["attn"]["wo"], out.reshape(b, c, nh * hd), actx.sub("wo"))
         x = x + out
