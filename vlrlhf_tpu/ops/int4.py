@@ -147,8 +147,16 @@ def _int4_matmul_kernel(
 
     def body(j, acc):
         pb = p_ref[pl.ds(j * GROUP, GROUP), :]  # (64, O_blk) int8
-        lo = jnp.right_shift(jnp.left_shift(pb, 4), 4).astype(jnp.bfloat16)
-        hi = jnp.right_shift(pb, 4).astype(jnp.bfloat16)
+        # unpack via int32 shifts (int8 vector shifts are not a proven
+        # Mosaic op; int8->int32 extension and int32 shifts are): low
+        # nibble sign-extends by <<28 >>28, high by <<24 >>28
+        p32 = pb.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(
+            jnp.bfloat16
+        )
+        hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(
+            jnp.bfloat16
+        )
         xlo = x_ref[:, pl.ds(j * GROUP, GROUP)]  # (T_blk, 64)
         xhi = x_ref[:, pl.ds(half + j * GROUP, GROUP)]
         plo = jax.lax.dot(xlo, lo, preferred_element_type=jnp.float32)
@@ -226,8 +234,13 @@ def _int4_matmul_t_kernel(
         alo, ahi = accs
         pb = p_ref[:, pl.ds(j * o_blk, o_blk)]  # (64, o_blk)
         dyb = dy_ref[:, pl.ds(j * o_blk, o_blk)]
-        lo = jnp.right_shift(jnp.left_shift(pb, 4), 4).astype(jnp.bfloat16)
-        hi = jnp.right_shift(pb, 4).astype(jnp.bfloat16)
+        p32 = pb.astype(jnp.int32)  # int32 shifts: proven Mosaic ops
+        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(
+            jnp.bfloat16
+        )
+        hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(
+            jnp.bfloat16
+        )
         slo = s_ref[0, pl.ds(0, 1), pl.ds(j * o_blk, o_blk)]  # (1, o_blk)
         shi = s_ref[0, pl.ds(1, 1), pl.ds(j * o_blk, o_blk)]
         wlo = lo * slo  # dequantized (64, o_blk) stripes
