@@ -90,10 +90,12 @@ def _chunk_kernel(
             jnp.int32, (nkv * gc, block_s), 1
         )
         # query row r is chunk position r % C at absolute length + (r % C);
-        # its own slot (== position) IS attendable: kv were written first
+        # its own slot (== position) IS attendable: kv were written first.
+        # (structured 3D iota instead of a vector modulo — int rem is not a
+        # proven Mosaic lowering)
         ci = jax.lax.broadcasted_iota(
-            jnp.int32, (nkv * gc, block_s), 0
-        ) % n_chunk
+            jnp.int32, (nkv * gc // n_chunk, n_chunk, block_s), 1
+        ).reshape(nkv * gc, block_s)
         s = s + jnp.where(slot <= length + ci, 0.0, MASK_VALUE)
 
         m_prev = m_scr[...]
