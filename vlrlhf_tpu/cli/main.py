@@ -1022,6 +1022,8 @@ def cmd_eval(args):
             jnp.bfloat16 if args.bf16 else jnp.float32,
             args.max_length, args.max_prompt_length,
             quantize_patterns=_JPATS if qbits else None,
+            quantize_bits=qbits or 8,  # int4 judge: ~3.3 GiB at 7B — twice
+            # the co-residency margin of int8
         )
         # Judging is text-only (questions + decoded answers): the judge's
         # vision tower / projector never run — drop them (~0.6 GiB at 7B;

@@ -24,7 +24,13 @@ rewritten by the next chunk before any query attends it (chunks are
 contiguous from the accepted length, and attention masks slot <= position).
 
 Greedy only (do_sample=False): sampled acceptance needs rejection-sampling
-corrections — out of scope until a workload needs it. Host-driven loop: one
+corrections — out of scope until a workload needs it.
+
+int8 KV caches work, with one numeric caveat: the plain decode path keeps
+the CURRENT token's kv exact (the kernel's bf16 self term) while a verify
+chunk reads its own freshly-quantized kv — tokens can differ from the
+plain engine's within int8 cache quantization noise (bf16 caches are
+bit-identical, which the tests pin). Host-driven loop: one
 dispatch verifies up to K+1 tokens, so dispatch-count drops by the mean
 acceptance factor — the right trade over a high-latency control plane (the
 axon tunnel pays ~0.55 ms/dispatch) and on local hosts alike.
