@@ -283,6 +283,39 @@ def test_int4_engine_generate_fused_kv8_e2e():
     np.testing.assert_array_equal(base_tokens, fused_tokens)
 
 
+def test_int4_multi_device_mesh_dense_fallback():
+    """Under a multi-device global mesh int4_apply must take the dense
+    (partitionable) path and still match the kernel path numerically."""
+    from vlrlhf_tpu.core import mesh as mesh_mod
+    from vlrlhf_tpu.core.mesh import MeshConfig, make_mesh
+    from vlrlhf_tpu.models.lm.llama import LMConfig, init_lm_params
+    from vlrlhf_tpu.ops.quant import quantize_params
+
+    cfg = LMConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+        remat=False,
+    )
+    params = init_lm_params(cfg, jax.random.PRNGKey(30))
+    q4 = quantize_params({"lm": params}, bits=4)["lm"]
+    ids = jax.random.randint(jax.random.PRNGKey(31), (2, 10), 1, 250)
+    lens = jnp.asarray([8, 10], jnp.int32)
+    from tests.test_fuse import _prefill_and_decode
+
+    base = _prefill_and_decode(cfg, q4, ids, lens)
+    prev = mesh_mod._GLOBAL_MESH
+    make_mesh(MeshConfig(data=1, fsdp=2, model=4))
+    try:
+        meshed = _prefill_and_decode(cfg, q4, ids, lens)
+    finally:
+        mesh_mod._GLOBAL_MESH = prev
+    for i, (g, w) in enumerate(zip(base, meshed)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            atol=0.05, rtol=0.05, err_msg=f"step {i}",
+        )
+
+
 def test_fused_int4_parity():
     from tests.test_fuse import _prefill_and_decode
     from vlrlhf_tpu.models.lm.fuse import fuse_lm_params

@@ -343,15 +343,30 @@ def _int4_mm_bwd(res, g):
 _int4_mm_diff.defvjp(_int4_mm_fwd, _int4_mm_bwd)
 
 
+def _multi_device_mesh() -> bool:
+    from vlrlhf_tpu.core import mesh as _m
+
+    return _m._GLOBAL_MESH is not None and _m._GLOBAL_MESH.devices.size > 1
+
+
 def int4_apply(p: dict, x: jax.Array, force_xla: bool = False) -> jax.Array:
     """linear()'s int4 branch: (..., in) @ packed kernel -> (..., out).
     Differentiable w.r.t. x (custom VJP; QLoRA training over a frozen int4
-    base) — the packed kernel and scales receive no gradient."""
+    base) — the packed kernel and scales receive no gradient.
+
+    Under a MULTI-DEVICE mesh the Pallas kernel would be replicated by
+    GSPMD (pallas_call has no partitioning rule — every chip would gather
+    every operand), so the call takes the dense dequantize-then-matmul
+    path instead: fully partitionable, differentiable, and the per-layer
+    bf16 dequant transient is itself sharded. int4's bandwidth win is a
+    single-chip serving/QLoRA story; multi-chip keeps the 4x param-HBM
+    capacity win."""
     lead = x.shape[:-1]
     x2d = x.reshape(-1, x.shape[-1])
-    if force_xla:
-        y2d = int4_matmul(x2d, p["kernel_q4"], p["kernel_scale"],
-                          force_xla=True)
+    if force_xla or _multi_device_mesh():
+        w = dequantize_kernel_int4(p["kernel_q4"], p["kernel_scale"],
+                                   x2d.dtype)
+        y2d = x2d @ w
     else:
         y2d = _int4_mm_diff(x2d, p["kernel_q4"], p["kernel_scale"])
     return y2d.reshape(*lead, y2d.shape[-1]).astype(x.dtype)
