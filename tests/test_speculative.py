@@ -109,6 +109,41 @@ def test_speculative_accepts_on_repetitive_model():
     assert spec.verify_calls <= 3, spec.verify_calls
 
 
+@pytest.mark.slow
+def test_speculative_fuzz_differential():
+    """Randomized differential: random tiny models, prompt lengths, k, and
+    eos sets (drawn from actual greedy outputs so they trigger mid-stream)
+    — every configuration must reproduce the plain engine's tokens."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        cfg = tiny_vlm_config()
+        params = init_vlm_params(cfg, jax.random.PRNGKey(100 + trial))
+        L = int(rng.integers(8, 24))
+        lens = sorted(
+            int(rng.integers(4, L + 1)) for _ in range(2)
+        )
+        n_new = int(rng.integers(2, 12))
+        batch = _batch(lens, L, seed=200 + trial, with_image=trial % 2 == 0)
+        probe = np.asarray(
+            Generator(
+                cfg, GenerateConfig(max_new_tokens=n_new, pad_token_id=0)
+            )(params, batch)
+        )
+        eos_pool = [int(t) for t in probe.flatten() if t != 0]
+        eos = tuple(
+            set(rng.choice(eos_pool, size=min(2, len(eos_pool))).tolist())
+        ) if eos_pool and trial % 3 else ()
+        gcfg = GenerateConfig(
+            max_new_tokens=n_new, pad_token_id=0, eos_token_ids=eos
+        )
+        want = np.asarray(Generator(cfg, gcfg)(params, batch))
+        k = int(rng.integers(1, 9))
+        got = SpeculativeGenerator(cfg, gcfg, k_draft=k)(params, batch)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"trial {trial} k={k} eos={eos} n={n_new}"
+        )
+
+
 def test_eval_runner_speculative_path():
     """EvalRunner(speculative_k>0) serves run_vqa with identical responses
     to the plain engine."""
