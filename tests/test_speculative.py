@@ -109,6 +109,93 @@ def test_speculative_accepts_on_repetitive_model():
     assert spec.verify_calls <= 3, spec.verify_calls
 
 
+def test_speculative_sampled_topk1_matches_greedy():
+    """top_k=1 sampling is argmax regardless of rng, so the sampled
+    speculative path (acceptance coin flips + residual resampling included)
+    must reproduce plain greedy bit-exactly — a deterministic end-to-end
+    check of the whole sampled code path."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    greedy = GenerateConfig(max_new_tokens=10, pad_token_id=0)
+    sampled = dataclasses.replace(
+        greedy, do_sample=True, top_k=1, temperature=0.7
+    )
+    batch = _batch([20, 26], 32, seed=7)
+    want = np.asarray(Generator(cfg, greedy)(params, batch))
+    spec = SpeculativeGenerator(cfg, sampled, k_draft=4)
+    got = spec(params, batch, rng=jax.random.PRNGKey(123))
+    np.testing.assert_array_equal(got, want)
+    assert spec.verify_calls >= 1
+
+
+def test_speculative_sampled_eos_and_shapes():
+    """Sampled mode interface contract: (B, n_new) int32, an eos token is
+    written then the row pads out, and non-finished rows carry no pads
+    before their last emitted token."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(1))
+    gcfg = GenerateConfig(
+        max_new_tokens=8, pad_token_id=0, do_sample=True,
+        temperature=0.8, top_k=12, eos_token_ids=(9, 11),
+    )
+    batch = _batch([12, 16], 16, seed=3, with_image=False)
+    out = SpeculativeGenerator(cfg, gcfg, k_draft=3)(
+        params, batch, rng=jax.random.PRNGKey(5)
+    )
+    assert out.shape == (2, 8) and out.dtype == np.int32
+    for row in out:
+        hits = np.nonzero(np.isin(row, (9, 11)))[0]
+        if hits.size:
+            assert (row[hits[0] + 1:] == 0).all()
+
+
+@pytest.mark.slow
+def test_speculative_sampled_marginals_match_plain():
+    """Lossless speculative sampling: each emitted token is marginally
+    distributed exactly like the plain engine's sampled decode. Empirical
+    check — N independently-seeded runs of both engines on the same prompt,
+    per-position total-variation distance between the histograms must be
+    within sampling noise (and far from the distance either histogram has
+    to a deliberately-wrong one)."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(4))
+    gcfg = GenerateConfig(
+        max_new_tokens=3, pad_token_id=0, do_sample=True,
+        temperature=0.5, top_k=5,
+    )
+    batch = _batch([14], 16, seed=9, with_image=False)
+    n_trials = 300
+    plain = Generator(cfg, gcfg)
+    spec = SpeculativeGenerator(cfg, gcfg, k_draft=2)
+    got_p = np.stack([
+        np.asarray(plain(params, batch, rng=jax.random.PRNGKey(1000 + t)))[0]
+        for t in range(n_trials)
+    ])
+    got_s = np.stack([
+        spec(params, batch, rng=jax.random.PRNGKey(5000 + t))[0]
+        for t in range(n_trials)
+    ])
+    v = cfg.lm.vocab_size
+
+    def _tv(a, b, pos):
+        ha = np.bincount(a[:, pos], minlength=v) / len(a)
+        hb = np.bincount(b[:, pos], minlength=v) / len(b)
+        return 0.5 * np.abs(ha - hb).sum()
+
+    half = n_trials // 2
+    for pos in range(3):
+        # self-calibrated: the noise floor is the TV between two
+        # independent halves of the PLAIN runs (N/2 each); cross-engine TV
+        # at full N has ~0.7x that expected noise. 1.8x the floor (+0.03)
+        # is a ~2.5-sigma-equivalent margin, while a wrong residual
+        # distribution (e.g. not excluding the draft token) sits far above.
+        floor = _tv(got_p[:half], got_p[half:], pos)
+        cross = _tv(got_p, got_s, pos)
+        assert cross < 1.8 * floor + 0.03, (
+            f"pos {pos}: cross-tv={cross:.3f} floor={floor:.3f}"
+        )
+
+
 @pytest.mark.slow
 def test_speculative_fuzz_differential():
     """Randomized differential: random tiny models, prompt lengths, k, and

@@ -986,6 +986,10 @@ def cmd_eval(args):
             eos_token_ids=stop_ids,
             pad_token_id=processor.tokenizer.pad_token_id or 0,
             kv_cache_dtype=args.kv_cache_dtype,
+            do_sample=args.do_sample,
+            temperature=args.temperature,
+            top_k=args.top_k,
+            top_p=args.top_p,
         ),
         collator_cfg=CollatorConfig(
             pad_token_id=processor.tokenizer.pad_token_id or 0,
@@ -1157,10 +1161,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused wqkv/gateup serving weights: fewer, wider "
                         "HBM streams per decode layer (models/lm/fuse)")
     p.add_argument("--speculative_k", type=int, default=0,
-                   help=">0: exact-greedy speculative decoding with this "
-                        "draft length (prompt-lookup drafts verified in "
-                        "one chunked forward — identical tokens, fewer "
-                        "dispatches; generate/speculative.py)")
+                   help=">0: speculative decoding with this draft length "
+                        "(prompt-lookup drafts verified in one chunked "
+                        "forward — greedy: identical tokens; sampled: "
+                        "identical distribution via lossless rejection "
+                        "sampling; generate/speculative.py)")
+    # sampled generation (the reference's InstructBLIP eval decodes with
+    # do_sample=True temperature=0.2 — models/InstructBlip/__init__.py:184)
+    p.add_argument("--do_sample", type=lambda x: x.lower() == "true",
+                   default=False)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None)
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge")

@@ -43,13 +43,14 @@ class EvalRunner:
     # slot-refill continuous batching for run_vqa (generate/continuous.py);
     # batch_size then sets the number of SLOTS
     continuous_batching: bool = False
-    # >0: exact-greedy speculative decoding with this draft length
-    # (generate/speculative.py prompt-lookup; identical tokens, fewer
-    # dispatches). Ignored under continuous batching.
+    # >0: speculative decoding with this draft length
+    # (generate/speculative.py prompt-lookup; greedy = identical tokens,
+    # sampled = identical distribution via lossless rejection sampling;
+    # fewer dispatches either way). Ignored under continuous batching.
     speculative_k: int = 0
 
     def __post_init__(self):
-        if self.speculative_k > 0 and not self.gen_cfg.do_sample:
+        if self.speculative_k > 0 and not self.continuous_batching:
             from vlrlhf_tpu.generate.speculative import SpeculativeGenerator
 
             self._gen = SpeculativeGenerator(

@@ -323,6 +323,12 @@ class Generator:
             self.adapters,
             self.lora_scale,
         )
+        # _generate_impl consumed split(rng)[1] for the first token and
+        # discarded the advanced key; re-derive it here or the first decode
+        # step would re-split the ORIGINAL rng and sample token 1 with the
+        # SAME subkey as token 0 (a correlation the speculative marginal
+        # test caught: t1 repeated t0's categorical draw far too often).
+        rng = jax.random.split(rng)[0]
         def _with_state(cache, pending, lengths, out):
             state = {"cache": cache, "pending": pending, "lengths": lengths}
             return (out, state) if return_state else out

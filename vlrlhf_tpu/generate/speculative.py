@@ -23,8 +23,19 @@ Per-row cache-position invariant: a verify chunk writes kv at positions
 rewritten by the next chunk before any query attends it (chunks are
 contiguous from the accepted length, and attention masks slot <= position).
 
-Greedy only (do_sample=False): sampled acceptance needs rejection-sampling
-corrections — out of scope until a workload needs it.
+Sampled mode (do_sample=True) is LOSSLESS speculative sampling (Leviathan
+et al. 2023) specialized to point-mass drafts: the prompt-lookup draft d is
+a deterministic proposal, so the acceptance probability min(1, p(d)/q(d))
+reduces to p(d) under the warped target distribution p (same
+temperature/top-k/top-p warping as the plain engine, shared via
+ops/sampling.warp_logits), and the rejection residual norm(max(p - q, 0))
+is p with d excluded, renormalized — i.e. on reject we sample from p minus
+the draft token. Each emitted token is marginally distributed EXACTLY as a
+plain sampled decode step (the point-mass algebra: P(emit x) =
+p(d)·[x=d] + (1-p(d))·p(x)/(1-p(d))·[x≠d] = p(x)); only the rng stream
+differs, so outputs are distribution-identical, not bit-identical
+(tests/test_speculative.py pins top_k=1 == greedy exactly and checks the
+marginal distribution statistically).
 
 int8 KV caches work, with one numeric caveat: the plain decode path keeps
 the CURRENT token's kv exact (the kernel's bf16 self term) while a verify
@@ -85,10 +96,6 @@ class SpeculativeGenerator:
         lora_scale: float = 1.0,
         k_draft: int = 7,
     ):
-        assert not gen_cfg.do_sample, (
-            "speculative decoding is greedy-only (sampled acceptance needs "
-            "rejection-sampling corrections)"
-        )
         self.model_cfg = model_cfg
         self.gen_cfg = gen_cfg
         self.k = max(1, k_draft)
@@ -108,23 +115,75 @@ class SpeculativeGenerator:
     def _verify_fn(self):
         if self._verify is None:
             cfg = self.model_cfg
+            gcfg = self.gen_cfg
 
-            def fn(params, cache, chunk_ids, chunk_lens, lengths,
-                   adapters, lora_scale):
+            def _chunk_logits(params, cache, chunk_ids, chunk_lens, lengths,
+                              adapters, lora_scale):
                 from vlrlhf_tpu.models.lm.llama import lm_prefill_chunk
 
                 ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
-                logits, cache, _ = lm_prefill_chunk(
+                return lm_prefill_chunk(
                     cfg.lm, params["lm"],
                     input_ids=chunk_ids, chunk_lens=chunk_lens,
                     lengths=lengths, cache=cache, ctx=ctx.sub("lm"),
                     return_all_logits=True,
                 )
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return greedy, cache
+
+            if not gcfg.do_sample:
+
+                def fn(params, cache, chunk_ids, chunk_lens, lengths,
+                       adapters, lora_scale):
+                    logits, cache, _ = _chunk_logits(
+                        params, cache, chunk_ids, chunk_lens, lengths,
+                        adapters, lora_scale,
+                    )
+                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return greedy, cache
+
+            else:
+
+                def fn(params, cache, chunk_ids, chunk_lens, lengths, rng,
+                       adapters, lora_scale):
+                    from vlrlhf_tpu.ops.sampling import warp_logits
+
+                    logits, cache, _ = _chunk_logits(
+                        params, cache, chunk_ids, chunk_lens, lengths,
+                        adapters, lora_scale,
+                    )  # (B, C, V)
+                    warped = warp_logits(
+                        logits.astype(jnp.float32), gcfg.temperature,
+                        gcfg.top_k, gcfg.top_p,
+                    )
+                    p = jax.nn.softmax(warped, axis=-1)
+                    # position j's distribution is compared against the NEXT
+                    # chunk token (the draft at j+1); last column is unused
+                    # (the bonus position samples from full p instead).
+                    d_next = jnp.concatenate(
+                        [chunk_ids[:, 1:], chunk_ids[:, -1:]], axis=1
+                    )  # (B, C)
+                    p_draft = jnp.take_along_axis(
+                        p, d_next[..., None].astype(jnp.int32), axis=-1
+                    )[..., 0]  # (B, C)
+                    r_u, r_res, r_full = jax.random.split(rng, 3)
+                    accept = (
+                        jax.random.uniform(r_u, p_draft.shape) < p_draft
+                    )
+                    v = warped.shape[-1]
+                    excl = jnp.where(
+                        jnp.arange(v)[None, None, :] == d_next[..., None],
+                        -jnp.inf, warped,
+                    )
+                    resample = jax.random.categorical(
+                        r_res, excl, axis=-1
+                    ).astype(jnp.int32)
+                    full = jax.random.categorical(
+                        r_full, warped, axis=-1
+                    ).astype(jnp.int32)
+                    return accept, resample, full, cache
 
             # donate the cache: verify rewrites it in place every step
-            self._verify = jax.jit(fn, donate_argnums=(1,))
+            donate = (1,)
+            self._verify = jax.jit(fn, donate_argnums=donate)
         return self._verify
 
     def __call__(
@@ -180,6 +239,12 @@ class SpeculativeGenerator:
 
         verify = self._verify_fn()
         c = k + 1
+        # verify rng stream: the prefill consumed a split of `rng` for the
+        # first token; fold before re-splitting so verify keys never collide
+        # with the prefill's.
+        vrng = jax.random.fold_in(
+            rng if rng is not None else jax.random.PRNGKey(0), 0x5bec
+        )
         while not done.all():
             chunk = np.full((b, c), gcfg.pad_token_id, np.int32)
             clens = np.zeros((b,), np.int32)
@@ -192,25 +257,49 @@ class SpeculativeGenerator:
                 chunk[i, 0] = last[i]
                 chunk[i, 1:ci] = draft[: ci - 1]
                 clens[i] = ci
-            greedy, cache = verify(
-                params, cache, jnp.asarray(chunk), jnp.asarray(clens),
-                jnp.asarray(lengths), self.adapters, self.lora_scale,
-            )
+            if gcfg.do_sample:
+                vrng, sub = jax.random.split(vrng)
+                acc, res, full, cache = verify(
+                    params, cache, jnp.asarray(chunk), jnp.asarray(clens),
+                    jnp.asarray(lengths), sub, self.adapters,
+                    self.lora_scale,
+                )
+                acc, res, full = (
+                    np.asarray(acc), np.asarray(res), np.asarray(full)
+                )
+            else:
+                greedy, cache = verify(
+                    params, cache, jnp.asarray(chunk), jnp.asarray(clens),
+                    jnp.asarray(lengths), self.adapters, self.lora_scale,
+                )
+                g = np.asarray(greedy)
             self.verify_calls += 1
-            g = np.asarray(greedy)
             for i in range(b):
                 ci = int(clens[i])
                 if ci == 0:
                     continue
-                # accepted draft prefix: draft j (chunk[i, j+1]) is accepted
-                # iff the model's continuation after chunk[..j] equals it
-                a = 0
-                while a < ci - 1 and g[i, a] == chunk[i, a + 1]:
-                    a += 1
+                if gcfg.do_sample:
+                    # accepted draft prefix: draft j+1 survives its p(d)
+                    # coin flip; the token emitted at the stop position is
+                    # the residual resample (reject) or the bonus sample
+                    # (all drafts accepted).
+                    a = 0
+                    while a < ci - 1 and acc[i, a]:
+                        a += 1
+                    toks = [int(chunk[i, j + 1]) for j in range(a)]
+                    toks.append(
+                        int(full[i, a]) if a == ci - 1 else int(res[i, a])
+                    )
+                else:
+                    # draft j (chunk[i, j+1]) is accepted iff the model's
+                    # continuation after chunk[..j] equals it
+                    a = 0
+                    while a < ci - 1 and g[i, a] == chunk[i, a + 1]:
+                        a += 1
+                    toks = [int(g[i, j]) for j in range(a + 1)]
                 advanced = 0
-                for j in range(a + 1):  # emit g[i, 0..a]
-                    tok = int(g[i, j])
-                    advanced += 1  # chunk token j's kv is now valid context
+                for tok in toks:
+                    advanced += 1  # this chunk position's kv is now valid
                     if tok in eos:
                         # the engine writes the eos token to `out` (it only
                         # masks a FIRST-token eos) — match exactly
