@@ -51,6 +51,23 @@ def test_cli_ppo_synthetic(tmp_path):
     assert os.path.exists(tmp_path / "ppo_metrics.jsonl")
 
 
+def test_cli_ppo_continuous_rollouts(tmp_path):
+    """Slot-refill rollouts end-to-end: same metrics surface as the static
+    path, finite values, rollout throughput recorded."""
+    main(["ppo", *_common(tmp_path), "--max_new_tokens", "4",
+          "--rollout_chunk_size", "2",
+          "--rollout_continuous_batching", "true"])
+    records = [
+        json.loads(line)
+        for line in open(tmp_path / "ppo_metrics.jsonl")
+    ]
+    assert any("ppo/rollout_tok_s" in r for r in records)
+    for r in records:
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert v == v, (k, r)  # no NaN
+
+
 def test_cli_eval_synthetic(tmp_path):
     rows = [
         {"text": "is there a dog?", "label": "yes", "image": "a.jpg"},

@@ -811,15 +811,28 @@ def cmd_ppo(args):
     from vlrlhf_tpu.core.dist import any_process_failed
     from vlrlhf_tpu.data.processor import make_single_turn_conv
 
+    # Rollouts stop at the family's stop tokens / eos like the reference's
+    # model-specific generation configs (e.g. QwenVL ChatML stop words,
+    # models/QwenVL/__init__.py:39-46) — mixed response lengths are also
+    # exactly where continuous-batching rollouts win.
+    stop_ids = tuple(
+        processor.tokenizer.convert_token_to_id(t)
+        for t in family.stop_tokens
+    ) if family.stop_tokens and not args.synthetic else ()
+    if processor.tokenizer.eos_token_id is not None:
+        stop_ids = stop_ids + (processor.tokenizer.eos_token_id,)
+    rollout_gen_cfg = GenerateConfig(
+        max_new_tokens=args.max_new_tokens, do_sample=True,
+        temperature=1.0, pad_token_id=pad_id, eos_token_ids=stop_ids,
+    )
     # ONE Generator for the whole run: adapters are call arguments of the
     # compiled program, so updating .adapters per step reuses the compilation.
     gen = Generator(
-        cfg,
-        GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=True,
-                       temperature=1.0, pad_token_id=pad_id),
+        cfg, rollout_gen_cfg,
         adapters=state.trainable["adapters"], lora_scale=lcfg.scale,
     )
     chunk_sz = max(1, min(args.rollout_chunk_size, bs))
+    cb_engines: dict = {}
 
     for it in range(n_steps):
         chunk = rows[(it * bs) % len(rows) : (it * bs) % len(rows) + bs]
@@ -850,15 +863,64 @@ def cmd_ppo(args):
             import time as _time
 
             _t0 = _time.perf_counter()
-            parts = []
-            for cs in range(0, bs, chunk_sz):
-                sub = {
-                    k: v[cs : cs + chunk_sz] if hasattr(v, "shape") else v
-                    for k, v in pb.items()
-                }
+            if args.rollout_continuous_batching:
+                # Slot-refill rollouts (generate/continuous.py): a short
+                # response frees its slot for the next prompt instead of
+                # idling until the chunk's longest row finishes. Slots =
+                # rollout_chunk_size; eos tokens ride into the response so
+                # the reward lands on the eos position exactly as in the
+                # static path.
+                from vlrlhf_tpu.generate.continuous import (
+                    ContinuousEngine,
+                    Request,
+                )
+
+                plens_np = np.asarray(pb["prompt_lens"])
+                reqs = []
+                for i in range(bs):
+                    pl = int(plens_np[i])
+                    has_img = prompt_rows[i].get("img_path") is not None
+                    reqs.append(Request(
+                        input_ids=np.asarray(pb["input_ids"][i, :pl]),
+                        pixel_values=(
+                            np.asarray(pb["pixel_values"][i, 0])
+                            if has_img else None
+                        ),
+                        image_positions=(
+                            np.asarray(pb["image_positions"][i])
+                            if has_img else None
+                        ),
+                        qformer_input_ids=prompt_rows[i].get(
+                            "qformer_input_ids"
+                        ),
+                    ))
+                c_len = -(-(int(plens_np.max())
+                            + args.max_new_tokens) // 128) * 128
+                if c_len not in cb_engines:
+                    cb_engines[c_len] = ContinuousEngine(
+                        cfg, rollout_gen_cfg, n_slots=chunk_sz,
+                        cache_len=c_len, lora_scale=lcfg.scale,
+                        emit_stop_token=True,
+                    )
+                cb = cb_engines[c_len]
+                cb.adapters = state.trainable["adapters"]
                 rng, krng = jax.random.split(rng)
-                parts.append(np.asarray(gen(params, sub, rng=krng)))
-            tokens = np.concatenate(parts, axis=0)
+                outs = cb.run(params, reqs, rng=krng)
+                tokens = np.full(
+                    (bs, args.max_new_tokens), pad_id, np.int32
+                )
+                for i, toks in enumerate(outs):
+                    tokens[i, : len(toks)] = toks
+            else:
+                parts = []
+                for cs in range(0, bs, chunk_sz):
+                    sub = {
+                        k: v[cs : cs + chunk_sz] if hasattr(v, "shape") else v
+                        for k, v in pb.items()
+                    }
+                    rng, krng = jax.random.split(rng)
+                    parts.append(np.asarray(gen(params, sub, rng=krng)))
+                tokens = np.concatenate(parts, axis=0)
             rollout_dt = _time.perf_counter() - _t0
             batch = rollout_to_batch(pb, tokens, pad_id)
             raw_scores = np.asarray(reward_fn(batch), np.float32)
@@ -1120,6 +1182,13 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--minibatch_size", type=int, default=0,
                            help="inner-update minibatch (0 = full batch)")
             p.add_argument("--rollout_chunk_size", type=int, default=32)
+            p.add_argument("--rollout_continuous_batching",
+                           type=lambda x: x.lower() == "true", default=False,
+                           help="slot-refill rollouts: a finished response "
+                                "frees its slot for the next prompt "
+                                "(rollout_chunk_size sets the slot count); "
+                                "wins when stop tokens make response "
+                                "lengths uneven")
             p.add_argument("--use_value_adapter",
                            type=lambda x: x.lower() == "true", default=False,
                            help="separate LoRA set for the value function")

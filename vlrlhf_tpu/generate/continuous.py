@@ -211,9 +211,14 @@ class ContinuousEngine:
         # finishes before paying a host turnaround (see _cb_burst_impl)
         adapters: Optional[PyTree] = None,
         lora_scale: float = 1.0,
+        emit_stop_token: bool = False,  # include the eos token in the
+        # returned response (the static engine writes it to `out`; PPO
+        # rollouts need it so the reward lands on the eos position exactly
+        # as TRL's, while eval decode strips it and keeps the default)
     ):
         self.model_cfg = model_cfg
         self.gen_cfg = gen_cfg
+        self.emit_stop_token = emit_stop_token
         self.n_slots = n_slots
         self.cache_len = cache_len
         self.prefill_chunk = max(prefill_chunk, 1)
@@ -410,6 +415,8 @@ class ContinuousEngine:
         def record(slot: int, tok: int) -> bool:
             """Append one sampled token; False when the slot retired."""
             if tok in eos:
+                if self.emit_stop_token:
+                    responses[req_idx[slot]].append(tok)
                 finish(slot)
                 return False
             responses[req_idx[slot]].append(tok)
