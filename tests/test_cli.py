@@ -35,6 +35,18 @@ def test_cli_dpo_synthetic(tmp_path, family):
     assert os.path.exists(tmp_path / "adapters")
 
 
+def test_cli_dpo_pipeline_parallel(tmp_path):
+    """--mesh_pipe 2: the DPO step runs with the decoder split into two
+    GPipe stages on the virtual mesh; step-1 loss must still be log(2)."""
+    args = _common(tmp_path)
+    args[args.index("--mesh_fsdp") + 1] = "2"
+    main(["dpo", *args, "--mesh_pipe", "2", "--loss_type", "sigmoid"])
+    records = [
+        json.loads(line) for line in open(tmp_path / "dpo_metrics.jsonl")
+    ]
+    assert abs(records[0]["loss"] - 0.6931) < 1e-3, records[0]
+
+
 def test_cli_sft_synthetic(tmp_path):
     main(["sft", *_common(tmp_path), "--merge_adapter_after_training"])
     assert os.path.exists(tmp_path / "adapters")

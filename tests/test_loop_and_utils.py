@@ -18,9 +18,9 @@ from vlrlhf_tpu.train.metrics import MetricsLogger
 
 
 def test_mesh_config_resolution():
-    assert MeshConfig(1, -1, 1).resolve(8) == (1, 8, 1)
-    assert MeshConfig(2, -1, 2).resolve(8) == (2, 2, 2)
-    assert MeshConfig(1, 1, 1).resolve(8) == (1, 1, 1)  # subset allowed
+    assert MeshConfig(1, -1, 1).resolve(8) == (1, 8, 1, 1)
+    assert MeshConfig(2, -1, 2).resolve(8) == (2, 2, 2, 1)
+    assert MeshConfig(1, 1, 1).resolve(8) == (1, 1, 1, 1)  # subset allowed
     mesh = make_mesh(MeshConfig(1, 2, 2))
     assert mesh.devices.size == 4
 

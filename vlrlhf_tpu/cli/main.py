@@ -80,6 +80,12 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help=">1: pipeline-parallel decoder over this many "
+                        "stages (GPipe microbatches; models/lm/pipeline.py)")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="microbatches per step under --mesh_pipe (0 = one "
+                        "per stage); batch size must divide by it")
     p.add_argument("--sequence_parallel_axis", type=str, default="",
                    help="shard the sequence over this mesh axis with ring "
                         "attention (long-context training; e.g. 'model')")
@@ -181,6 +187,10 @@ def _load_bundle(args):
     lm_overrides = {}
     if getattr(args, "sequence_parallel_axis", ""):
         lm_overrides["sequence_parallel_axis"] = args.sequence_parallel_axis
+    if getattr(args, "mesh_pipe", 1) > 1:
+        lm_overrides["pipeline_stages"] = args.mesh_pipe
+        if getattr(args, "pipeline_microbatches", 0):
+            lm_overrides["pipeline_microbatches"] = args.pipeline_microbatches
     if getattr(args, "remat_policy", ""):
         lm_overrides["remat_policy"] = args.remat_policy
     if lm_overrides:
@@ -276,10 +286,11 @@ def _setup_training(args, cfg, params, family):
     from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
     from vlrlhf_tpu.train.train_state import OptimizerConfig, make_optimizer
 
+    pipe = getattr(args, "mesh_pipe", 1)
     mesh = make_mesh(
-        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model)
+        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model, pipe)
     )
-    rules = default_lm_rules()
+    rules = default_lm_rules(pipe_layers=pipe > 1)
     if getattr(args, "q_lora", False) and args.use_lora:
         from vlrlhf_tpu.ops.quant import (
             TRAIN_QUANT_PATTERNS,

@@ -7,6 +7,8 @@ The TPU replacement for the reference's accelerate/DeepSpeed process topology
   data   — pure data parallelism (between slices: rides DCN)
   fsdp   — ZeRO-3-style parameter/optimizer sharding (rides ICI)
   model  — tensor parallelism for attention heads / MLP (rides ICI)
+  pipe   — pipeline stages: decoder layers split into contiguous blocks,
+           GPipe microbatches hop stages via ppermute (models/lm/pipeline.py)
 
 ZeRO-2 == shard optimizer state on `fsdp` while replicating params; ZeRO-3 ==
 shard params on `fsdp` too. Both fall out of the sharding rules rather than a
@@ -24,7 +26,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "model")
+AXES = ("data", "fsdp", "model", "pipe")
 
 # The process-wide mesh, registered by make_mesh. Ops that need the physical
 # Mesh object (shard_map users like ops/ring_attention) fetch it here — model
@@ -54,9 +56,10 @@ class MeshConfig:
     data: int = 1
     fsdp: int = -1
     model: int = 1
+    pipe: int = 1  # pipeline stages (models/lm/pipeline.py); 1 = off
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        sizes = [self.data, self.fsdp, self.model]
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        sizes = [self.data, self.fsdp, self.model, self.pipe]
         n_auto = sum(1 for s in sizes if s == -1)
         if n_auto > 1:
             raise ValueError(f"At most one mesh axis may be -1, got {sizes}")

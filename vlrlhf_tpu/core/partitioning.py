@@ -50,10 +50,17 @@ def tree_paths(tree: PyTree) -> list[tuple[str, Any]]:
 
 
 class ShardingRules:
-    """Ordered (regex, PartitionSpec) rules mapping param paths to shardings."""
+    """Ordered (regex, PartitionSpec) rules mapping param paths to shardings.
 
-    def __init__(self, rules: Sequence[tuple[str, P]]):
+    pipe_layers=True lays the LM decoder stack's leading layer axis over the
+    `pipe` mesh axis (pipeline parallelism, models/lm/pipeline.py) so each
+    stage's chips hold only their L/S layers. Vision towers stay unpipelined
+    (their `blocks_scanned` axis keeps the None prefix)."""
+
+    def __init__(self, rules: Sequence[tuple[str, P]],
+                 pipe_layers: bool = False):
         self.rules = [(re.compile(pat), spec) for pat, spec in rules]
+        self.pipe_layers = pipe_layers
 
     def spec_for(self, path: str, ndim: int | None = None) -> P:
         spec = P()
@@ -62,7 +69,9 @@ class ShardingRules:
                 spec = s
                 break
         if SCAN_MARKER in path and spec != P():
-            spec = P(None, *spec)
+            lead = ("pipe" if self.pipe_layers
+                    and "layers_scanned" in path else None)
+            spec = P(lead, *spec)
         if ndim is not None:
             # Pad/trim the spec to the leaf rank so GSPMD accepts it.
             entries = list(spec)
@@ -102,7 +111,7 @@ def shard_pytree(rules: ShardingRules, tree: PyTree, mesh: Mesh) -> PyTree:
 # stored (in_features, out_features); embeddings (vocab, hidden).
 #   fsdp  — shard the *larger/input* dim for ZeRO-3-style param sharding
 #   model — shard the head/ffn output dim for tensor parallelism
-def default_lm_rules() -> ShardingRules:
+def default_lm_rules(pipe_layers: bool = False) -> ShardingRules:
     return ShardingRules(
         [
             (r"(^|/)embed_tokens/embedding$", P("fsdp", "model")),
@@ -127,7 +136,8 @@ def default_lm_rules() -> ShardingRules:
             (r"lora_[^/]*/b$", P(None, "model")),
             # Conv patch embed (H, W, C, D) and biases/norms: replicated
             (r"patch_embed/kernel$", P(None, None, None, "model")),
-        ]
+        ],
+        pipe_layers=pipe_layers,
     )
 
 

@@ -64,6 +64,13 @@ class LMConfig:
     # long-context; the reference maxes out at seq 2048 with none). Empty =
     # off. Applies to the training forward only (decode uses the KV cache).
     sequence_parallel_axis: str = ""
+    # Pipeline parallelism (models/lm/pipeline.py): >1 splits the layer
+    # stack into this many contiguous stages over the mesh's `pipe` axis;
+    # the batch flows through as GPipe microbatches (pipeline_microbatches,
+    # 0 = one per stage). Training forward only — another TPU-native
+    # scaling extension beyond the reference (SURVEY.md §2.3: PP absent).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
     remat: bool = True
     # 'full' recomputes everything in bwd; 'dots' saves matmul outputs
     # (heaviest HBM); 'attn' saves only each layer's attention output
@@ -599,6 +606,34 @@ def lm_prefill_chunk(
     return out_logits, new_cache, lengths + chunk_lens
 
 
+def remat_policy_for(cfg: LMConfig):
+    """Checkpoint policy for the per-layer body (None == 'full')."""
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy == "attn":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if cfg.remat_policy == "mlp":
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "ffn_gate", "ffn_up"
+        )
+    if cfg.remat_policy == "mlp1":
+        # half of 'mlp': one (B*S*ff) intermediate per layer — fits one
+        # step up in batch when 'mlp' is a few hundred MB over HBM
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "ffn_gate"
+        )
+    if cfg.remat_policy == "acts":
+        # save every named per-layer activation: backward recomputes only
+        # norms/rope/elementwise (flash-attn bwd re-derives scores inside
+        # its own kernel from the saved q/k/v) — ~(2B*S*ff + ~4B*S*H)
+        # bytes/layer; the fastest policy that fits 7B QLoRA on 16 GiB
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "ffn_gate", "ffn_up",
+            "attn_q", "attn_k", "attn_v", "attn_pre_wo",
+        )
+    return None
+
+
 def lm_forward(
     cfg: LMConfig,
     params: PyTree,
@@ -678,45 +713,35 @@ def lm_forward(
         return x, new_kv
 
     if cfg.remat and cache is None and cache_len is None:
-        policy = None
-        if cfg.remat_policy == "dots":
-            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        elif cfg.remat_policy == "attn":
-            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-        elif cfg.remat_policy == "mlp":
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "ffn_gate", "ffn_up"
-            )
-        elif cfg.remat_policy == "mlp1":
-            # half of 'mlp': one (B*S*ff) intermediate per layer — fits one
-            # step up in batch when 'mlp' is a few hundred MB over HBM
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "ffn_gate"
-            )
-        elif cfg.remat_policy == "acts":
-            # save every named per-layer activation: backward recomputes only
-            # norms/rope/elementwise (flash-attn bwd re-derives scores inside
-            # its own kernel from the saved q/k/v) — ~(2B*S*ff + ~4B*S*H)
-            # bytes/layer; the fastest policy that fits 7B QLoRA on 16 GiB
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "ffn_gate", "ffn_up",
-                "attn_q", "attn_k", "attn_v", "attn_pre_wo",
-            )
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        body = jax.checkpoint(
+            body, prevent_cse=False, policy=remat_policy_for(cfg)
+        )
 
-    xs = (
-        params["layers_scanned"],
-        layer_ctx.adapters,
-        layer_ctx.base_adapters,
-        jnp.arange(cfg.num_layers),
-        cache["k"] if cache is not None else None,
-        cache["v"] if cache is not None else None,
-        cache.get("k_scale") if cache is not None else None,
-        cache.get("v_scale") if cache is not None else None,
-    )
-    hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-        body, inputs_embeds, xs
-    )
+    if cfg.pipeline_stages > 1 and cache is None and cache_len is None:
+        # GPipe pipeline over the mesh's `pipe` axis (training forward only;
+        # decode paths run the plain scan — a pipe>1 mesh is a training
+        # topology). See models/lm/pipeline.py.
+        from vlrlhf_tpu.models.lm.pipeline import pipeline_decoder
+
+        hidden = pipeline_decoder(
+            cfg, params["layers_scanned"], layer_ctx, inputs_embeds,
+            cos, sin, pad_mask, segment_ids, positions,
+        )
+        new_k = new_v = new_ks = new_vs = None
+    else:
+        xs = (
+            params["layers_scanned"],
+            layer_ctx.adapters,
+            layer_ctx.base_adapters,
+            jnp.arange(cfg.num_layers),
+            cache["k"] if cache is not None else None,
+            cache["v"] if cache is not None else None,
+            cache.get("k_scale") if cache is not None else None,
+            cache.get("v_scale") if cache is not None else None,
+        )
+        hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            body, inputs_embeds, xs
+        )
     hidden = rms_norm(hidden, params["norm"]["weight"], cfg.rms_eps)
 
     new_cache = None
