@@ -1,0 +1,134 @@
+"""Serving daemon (generate/server.py): live scheduler + HTTP endpoint.
+
+The scheduler must keep the ContinuousEngine's greedy parity while
+requests arrive ASYNCHRONOUSLY from concurrent clients — slot admission
+happens mid-decode, not at batch boundaries."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+
+from tests.test_continuous import _generator_expected, _requests
+from tests.test_dpo_step import tiny_vlm_config
+from vlrlhf_tpu.generate.continuous import ContinuousEngine
+from vlrlhf_tpu.generate.engine import GenerateConfig
+from vlrlhf_tpu.generate.server import EngineServer
+from vlrlhf_tpu.models.vlm import init_vlm_params
+
+
+def _engine(cfg, max_new=10, n_slots=2):
+    return ContinuousEngine(
+        cfg, GenerateConfig(max_new_tokens=max_new, pad_token_id=-1),
+        n_slots=n_slots, cache_len=64, prefill_chunk=8,
+    )
+
+
+def test_engine_server_concurrent_submissions_match_static():
+    """Requests submitted from many threads, in two waves (the second wave
+    lands while the first is decoding): every response equals the static
+    engine's greedy output."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    reqs = _requests(n=6)
+    want = _generator_expected(cfg, params, reqs, max_new=10)
+    srv = EngineServer(_engine(cfg), params).start()
+    try:
+        futs = {}
+        lock = threading.Lock()
+
+        def submit(i):
+            f = srv.submit(reqs[i])
+            with lock:
+                futs[i] = f
+
+        first = [threading.Thread(target=submit, args=(i,))
+                 for i in range(3)]
+        for t in first:
+            t.start()
+        for t in first:
+            t.join()
+        # second wave arrives while the first decodes
+        futs[0].result(timeout=120)
+        second = [threading.Thread(target=submit, args=(i,))
+                  for i in range(3, 6)]
+        for t in second:
+            t.start()
+        for t in second:
+            t.join()
+        for i, r in enumerate(reqs):
+            got = futs[i].result(timeout=120)
+            assert got == want[i][: r.max_new_tokens], (i, got, want[i])
+    finally:
+        srv.stop()
+
+
+def test_http_server_end_to_end():
+    """Full HTTP round trip on the synthetic bundle: concurrent POSTs to
+    /generate return the same text the in-process EvalRunner produces."""
+    import argparse
+
+    from vlrlhf_tpu.cli.main import _synthetic_bundle
+    from vlrlhf_tpu.data.collators import CollatorConfig
+    from vlrlhf_tpu.generate.server import (
+        EndpointRunner,
+        RequestBuilder,
+        serve_http,
+    )
+
+    args = argparse.Namespace(
+        model_family="llava", max_length=64, max_prompt_length=48,
+        synthetic=4,
+    )
+    family, cfg, params, processor = _synthetic_bundle(args)
+    gen_cfg = GenerateConfig(
+        max_new_tokens=6,
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+    )
+    engine = ContinuousEngine(cfg, gen_cfg, n_slots=2, cache_len=128)
+    srv = EngineServer(engine, params).start()
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=32, image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+    )
+    builder = RequestBuilder(
+        processor, ccfg, lambda p, s, m: np.zeros((s, s, 3), np.uint8)
+    )
+    httpd = serve_http(srv, builder, processor.tokenizer, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30
+        ) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["slots"] == 2
+
+        questions = [f"what is in image {i}?" for i in range(4)]
+        ep = EndpointRunner(f"http://127.0.0.1:{port}", num_threads=4,
+                            timeout=240)
+        rows = ep.run_vqa(
+            [{"question": q, "img": "x.jpg"} for q in questions]
+        )
+        assert all(isinstance(r["response"], str) for r in rows)
+
+        # parity with a direct engine run over the same built requests
+        reqs = [builder.build(q, "x.jpg") for q in questions]
+        direct = ContinuousEngine(
+            cfg, gen_cfg, n_slots=2, cache_len=128
+        ).run(params, reqs)
+        want = [
+            processor.tokenizer.decode(
+                list(tk), skip_special_tokens=True
+            ).strip()
+            for tk in direct
+        ]
+        assert [r["response"] for r in rows] == want, (rows, want)
+    finally:
+        httpd.shutdown()
+        srv.stop()

@@ -1016,6 +1016,23 @@ def cmd_eval(args):
     from vlrlhf_tpu.eval.harness import EvalRunner
     from vlrlhf_tpu.generate.engine import GenerateConfig
 
+    if getattr(args, "endpoint", None):
+        # Remote serving mode: no model loads here — rows go over HTTP to a
+        # `vlrlhf serve` daemon (the reference's remote run_vqa_sgl,
+        # eval/utils.py:146-152).
+        from vlrlhf_tpu.generate.server import EndpointRunner
+
+        metrics = run_benchmark(
+            args.benchmark, EndpointRunner(args.endpoint), args.data_file,
+            args.image_root, batch_size=args.per_device_train_batch_size,
+            output_json=os.path.join(
+                args.output_dir, f"{args.benchmark}.json"
+            ),
+            sqlite_db=args.sqlite_db, tag=args.tag, progress=True,
+        )
+        print(metrics)
+        return
+
     family, cfg, params, processor = _load_bundle(args)
     qbits = {"false": 0, "true": 8, "int8": 8, "int4": 4}[
         str(args.quantize).lower()
@@ -1127,6 +1144,87 @@ def cmd_eval(args):
         judge=judge,
     )
     print(metrics)
+
+
+def cmd_serve(args):
+    """Serving daemon: continuous-batching engine behind an HTTP endpoint
+    (the reference's sglang Runtime server role, eval/utils.py:123-173 —
+    one process serves many concurrent clients, requests admit into cache
+    slots as they arrive)."""
+    from vlrlhf_tpu.data.collators import CollatorConfig
+    from vlrlhf_tpu.generate.continuous import ContinuousEngine
+    from vlrlhf_tpu.generate.engine import GenerateConfig
+    from vlrlhf_tpu.generate.server import (
+        EngineServer,
+        RequestBuilder,
+        serve_http,
+    )
+
+    family, cfg, params, processor = _load_bundle(args)
+    qbits = {"false": 0, "true": 8, "int8": 8, "int4": 4}[
+        str(args.quantize).lower()
+    ]
+    if qbits:
+        from vlrlhf_tpu.ops.quant import DEFAULT_QUANT_PATTERNS, quantize_params
+
+        params = jax.jit(
+            lambda p: quantize_params(
+                p, DEFAULT_QUANT_PATTERNS, bits=qbits
+            ),
+            donate_argnums=0,
+        )(params)
+    if getattr(args, "fuse_decode", False):
+        from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+
+        params = jax.jit(fuse_vlm_params, donate_argnums=0)(params)
+    stop_ids = tuple(
+        processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
+    ) if family.stop_tokens and not args.synthetic else ()
+    eos = processor.tokenizer.eos_token_id
+    if eos is not None:
+        stop_ids = stop_ids + (eos,)
+    gen_cfg = GenerateConfig(
+        max_new_tokens=args.max_new_tokens,
+        eos_token_ids=stop_ids,
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        kv_cache_dtype=args.kv_cache_dtype,
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+    )
+    cache_len = -(-(args.max_length + args.max_new_tokens) // 128) * 128
+    engine = ContinuousEngine(
+        cfg, gen_cfg, n_slots=args.slots, cache_len=cache_len,
+    )
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=32 if args.synthetic else 128,
+        image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+        anyres=bool(cfg.grid_pinpoints) and not args.synthetic,
+        grid_pinpoints=cfg.grid_pinpoints,
+        tile_grid=cfg.vision.image_size // cfg.vision.patch_size,
+    )
+    image_loader = (
+        (lambda p, s, m: np.zeros((s, s, 3), np.uint8))
+        if args.synthetic else None
+    )
+    srv = EngineServer(engine, params).start()
+    builder = RequestBuilder(processor, ccfg, image_loader)
+    httpd = serve_http(
+        srv, builder, processor.tokenizer, args.host, args.port
+    )
+    print(
+        f"serving {args.model_family} on "
+        f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
+        f"({args.slots} slots, cache_len {cache_len})",
+        flush=True,
+    )
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.stop()
 
 
 def cmd_merge(args):
@@ -1253,7 +1351,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--endpoint", type=str, default=None,
+                   help="evaluate against a remote `vlrlhf serve` daemon "
+                        "instead of loading a model here (the reference's "
+                        "remote run_vqa_sgl mode); generation benchmarks "
+                        "only")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve")
+    _common_args(p)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--slots", type=int, default=8,
+                   help="continuous-batching cache slots (concurrent "
+                        "in-flight requests)")
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--quantize", type=str, default="false",
+                   choices=["false", "true", "int8", "int4"])
+    p.add_argument("--kv_cache_dtype", type=str, default="bf16",
+                   choices=["bf16", "int8"])
+    p.add_argument("--fuse_decode",
+                   type=lambda x: x.lower() == "true", default=False)
+    p.add_argument("--do_sample", type=lambda x: x.lower() == "true",
+                   default=False)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("merge")
     _common_args(p)

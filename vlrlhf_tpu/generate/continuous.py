@@ -377,19 +377,51 @@ class ContinuousEngine:
     ) -> list[list[int]]:
         """Serve all requests; returns response token ids per request, in
         request order. Admission is FIFO into whichever slots free first."""
-        gen_cfg = self.gen_cfg
-        b, sc = self.n_slots, self.cache_len
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        rng = jax.device_put(rng)  # carried on device across all dispatches
-
+        sc = self.cache_len
         for r in requests:
             need = len(r.input_ids) + (
-                r.max_new_tokens or gen_cfg.max_new_tokens
+                r.max_new_tokens or self.gen_cfg.max_new_tokens
             )
             if need > sc:
                 raise ValueError(
                     f"request needs {need} cache slots, engine has {sc}"
                 )
+        responses: list = [None] * len(requests)
+        self.serve(
+            params,
+            _ListSource(requests),
+            lambda ridx, toks: responses.__setitem__(ridx, toks),
+            rng=rng,
+            progress=progress,
+        )
+        return responses
+
+    def serve(
+        self,
+        params: PyTree,
+        source,
+        on_finish,
+        rng: Optional[jax.Array] = None,
+        progress: bool = False,
+    ) -> None:
+        """Generic slot-refill scheduler loop — the engine's heart, shared
+        by batch mode (run/_ListSource) and the live server
+        (generate/server.py QueueSource, which feeds requests as they
+        arrive over HTTP and blocks in wait() when idle).
+
+        source protocol:
+          take()    -> (ridx, Request) | None   — next request, if any NOW
+          pending() -> int                      — queued count (burst-exit
+                                                  threshold heuristic)
+          done()    -> bool                     — no request will EVER
+                                                  arrive again
+          wait()    -> None                     — block briefly for work
+        on_finish(ridx, tokens) fires as each request completes.
+        """
+        gen_cfg = self.gen_cfg
+        b = self.n_slots
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = jax.device_put(rng)  # carried on device across all dispatches
 
         cache, pending, state = self._fresh_buffers()
 
@@ -400,43 +432,64 @@ class ContinuousEngine:
         lengths = np.zeros((b,), np.int32)
         stop_at = np.zeros((b,), np.int32)
         req_idx = np.full((b,), -1, np.int32)
-        responses: list[list[int]] = [[] for _ in requests]
+        inflight: dict = {}  # ridx -> Request (alive while slot occupied)
+        resp: dict = {}  # ridx -> token list being accumulated
         eos = set(gen_cfg.eos_token_ids or ())
-        queue = list(range(len(requests)))
         live = 0
         it = 0
+        n_done = 0
 
         def finish(slot: int):
-            nonlocal live
+            nonlocal live, n_done
+            ridx = int(req_idx[slot])
             phase[slot] = FREE
             req_idx[slot] = -1
             live -= 1
+            n_done += 1
+            on_finish(ridx, resp.pop(ridx))
+            inflight.pop(ridx)
 
         def record(slot: int, tok: int) -> bool:
             """Append one sampled token; False when the slot retired."""
+            ridx = int(req_idx[slot])
             if tok in eos:
                 if self.emit_stop_token:
-                    responses[req_idx[slot]].append(tok)
+                    resp[ridx].append(tok)
                 finish(slot)
                 return False
-            responses[req_idx[slot]].append(tok)
-            if len(responses[req_idx[slot]]) >= stop_at[slot]:
+            resp[ridx].append(tok)
+            if len(resp[ridx]) >= stop_at[slot]:
                 finish(slot)
                 return False
             return True
 
-        while queue or live:
+        while True:
             # admit every free slot this round; same-bucket prompts share
             # one batched prefill dispatch
             admits: list[tuple[int, int]] = []
             for slot in range(b):
-                if phase[slot] == FREE and queue:
-                    admits.append((slot, queue.pop(0)))
+                if phase[slot] != FREE:
+                    continue
+                item = source.take()
+                if item is None:
+                    break
+                ridx, r = item
+                need = len(r.input_ids) + (
+                    r.max_new_tokens or gen_cfg.max_new_tokens
+                )
+                if need > self.cache_len:
+                    raise ValueError(
+                        f"request needs {need} cache slots, engine has "
+                        f"{self.cache_len}"
+                    )
+                inflight[ridx] = r
+                resp[ridx] = []
+                admits.append((slot, ridx))
             newly: set[int] = set()
             if admits:
                 by_bucket: dict[tuple, list] = {}
                 for slot, ridx in admits:
-                    r = requests[ridx]
+                    r = inflight[ridx]
                     lb = -(-len(r.input_ids)
                            // self.prefill_chunk) * self.prefill_chunk
                     # modality signature: a text-only row must never share a
@@ -460,11 +513,11 @@ class ContinuousEngine:
                     )
                 for group in groups:
                     cache, pending, state, rng = self._admit_group(
-                        params, cache, pending, state, group, requests, rng
+                        params, cache, pending, state, group, inflight, rng
                     )
                     for slot, ridx in group:
                         req_idx[slot] = ridx
-                        r = requests[ridx]
+                        r = inflight[ridx]
                         stop_at[slot] = (
                             r.max_new_tokens or gen_cfg.max_new_tokens
                         )
@@ -473,8 +526,11 @@ class ContinuousEngine:
                         live += 1
                         newly.add(slot)
             if live == 0:
+                if source.done():
+                    return
+                source.wait()
                 continue
-            exit_free = min(self.exit_free, len(queue), live)
+            exit_free = min(self.exit_free, source.pending(), live)
             cache, pending, state, rng, packed = self._burst_fn(exit_free)(
                 params, cache, pending, state, rng,
                 self.adapters, self.lora_scale,
@@ -500,6 +556,28 @@ class ContinuousEngine:
                     lengths[i] = int(new_lengths[i])
             it += 1
             if progress and it % 16 == 0:
-                done_n = len(requests) - len(queue) - live
-                print(f"  cb burst={it} done={done_n}/{len(requests)}")
-        return responses
+                print(f"  cb burst={it} done={n_done} live={live}")
+
+
+class _ListSource:
+    """Batch-mode request source: a fixed list, drained FIFO."""
+
+    def __init__(self, requests: Sequence[Request]):
+        self._q = list(enumerate(requests))
+        self._i = 0
+
+    def take(self):
+        if self._i >= len(self._q):
+            return None
+        item = self._q[self._i]
+        self._i += 1
+        return item
+
+    def pending(self) -> int:
+        return len(self._q) - self._i
+
+    def done(self) -> bool:
+        return self._i >= len(self._q)
+
+    def wait(self) -> None:  # pragma: no cover — batch mode never idles
+        pass

@@ -1,0 +1,299 @@
+"""Live serving daemon — the reference's sglang-server role as a real
+endpoint.
+
+The reference's fast eval path talks to an sglang Runtime, either
+in-process or over HTTP to a remote machine
+(/root/reference/src/vlrlhf/eval/utils.py:123-173 `run_vqa_sgl`, 32 client
+threads against `RuntimeEndpoint`). Our in-process engine already replaces
+the Runtime; this module adds the ENDPOINT: a scheduler thread drives
+ContinuousEngine.serve() from a thread-safe source, so requests arriving
+from concurrent HTTP clients admit into cache slots the moment one frees —
+cross-request continuous batching, not per-client batches.
+
+Layers:
+  QueueSource  — source protocol impl over a deque + condition variable;
+                 the scheduler idles in wait() when no work is queued.
+  EngineServer — owns the scheduler thread; submit(Request) -> Future.
+  RequestBuilder — text+image -> engine Request (prompt templating, image
+                 token expansion, pixel loading), mirroring
+                 eval/harness.py _prompt_row / _run_vqa_continuous.
+  serve_http   — stdlib ThreadingHTTPServer: POST /generate
+                 {"question", "image"?, "max_new_tokens"?} -> {"text"},
+                 GET /health. Text in, text out: the server owns the
+                 processor and the tokenizer decode.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import deque
+from concurrent.futures import Future
+from typing import Any, Optional
+
+import numpy as np
+
+from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
+
+PyTree = Any
+
+
+class QueueSource:
+    """Thread-safe request source for ContinuousEngine.serve()."""
+
+    def __init__(self):
+        self._dq: deque = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+
+    def push(self, ridx: int, req: Request) -> None:
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self._dq.append((ridx, req))
+            self._cv.notify()
+
+    def take(self):
+        with self._cv:
+            return self._dq.popleft() if self._dq else None
+
+    def pending(self) -> int:
+        with self._cv:
+            return len(self._dq)
+
+    def done(self) -> bool:
+        with self._cv:
+            return self._closed and not self._dq
+
+    def wait(self) -> None:
+        with self._cv:
+            self._cv.wait_for(
+                lambda: bool(self._dq) or self._closed, timeout=0.1
+            )
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+
+class EngineServer:
+    """Scheduler thread over a ContinuousEngine; submit() -> Future of the
+    response token list."""
+
+    def __init__(self, engine: ContinuousEngine, params: PyTree, rng=None):
+        self.engine = engine
+        self.params = params
+        self._rng = rng
+        self._src = QueueSource()
+        self._futures: dict[int, Future] = {}
+        self._lock = threading.Lock()
+        self._next_id = 0
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "EngineServer":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def _loop(self):
+        try:
+            self.engine.serve(
+                self.params, self._src, self._finish, rng=self._rng
+            )
+        except BaseException as e:  # noqa: BLE001 — fail pending futures
+            with self._lock:
+                futs, self._futures = self._futures, {}
+            for f in futs.values():
+                if not f.done():
+                    f.set_exception(e)
+
+    def _finish(self, ridx: int, tokens: list[int]):
+        with self._lock:
+            fut = self._futures.pop(ridx)
+        fut.set_result(tokens)
+
+    def submit(self, req: Request) -> Future:
+        need = len(req.input_ids) + (
+            req.max_new_tokens or self.engine.gen_cfg.max_new_tokens
+        )
+        if need > self.engine.cache_len:
+            raise ValueError(
+                f"request needs {need} cache slots, engine has "
+                f"{self.engine.cache_len}"
+            )
+        fut: Future = Future()
+        with self._lock:
+            ridx = self._next_id
+            self._next_id += 1
+            self._futures[ridx] = fut  # registered BEFORE the scheduler
+            # can possibly take+finish it
+        self._src.push(ridx, req)
+        return fut
+
+    def stop(self, timeout: float = 30.0):
+        self._src.close()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+
+
+class RequestBuilder:
+    """question/image -> engine Request (eval/harness.py _prompt_row +
+    _run_vqa_continuous request construction, shared here so the HTTP
+    server and the eval harness expand prompts identically)."""
+
+    def __init__(self, processor, collator_cfg, image_loader=None):
+        from vlrlhf_tpu.data.collators import GenerationCollator
+
+        self.processor = processor
+        self.collator = GenerationCollator(
+            processor, collator_cfg, image_loader
+        )
+
+    def build(
+        self,
+        question: str,
+        img_path: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> Request:
+        from vlrlhf_tpu.data.processor import make_single_turn_conv
+
+        proc = self.processor
+        n_img = 0 if img_path is None else 1
+        prompt = proc.format_multimodal_prompt(question, n_img)
+        conv = make_single_turn_conv(prompt, "")
+        ids = proc.maybe_prefix_image_ids(
+            proc.process_conv(conv)["input_ids"], n_img
+        )
+        prow = {"input_ids": ids, "img_path": img_path}
+        if proc.qformer_tokenizer is not None:
+            prow["qformer_input_ids"] = proc.qformer_ids(question)
+        b = self.collator([prow])
+        plen = int(b["prompt_lens"][0])
+        has_img = img_path is not None
+        if b.get("anyres_gather") is not None and has_img:
+            pv, gather = b["pixel_values"][0], b["anyres_gather"][0]
+        elif has_img:
+            pv, gather = b["pixel_values"][0, 0], None
+        else:
+            pv = gather = None
+        return Request(
+            input_ids=np.asarray(b["input_ids"][0, :plen]),
+            pixel_values=pv,
+            image_positions=(
+                np.asarray(b["image_positions"][0]) if has_img else None
+            ),
+            qformer_input_ids=prow.get("qformer_input_ids"),
+            anyres_gather=gather,
+            max_new_tokens=max_new_tokens,
+        )
+
+
+class EndpointRunner:
+    """HTTP client runner for run_benchmark — the reference's REMOTE
+    run_vqa_sgl mode (eval/utils.py:146-152: RuntimeEndpoint + run_batch
+    with 32 threads). Drop-in for EvalRunner's generation surface; the
+    model lives in a `vlrlhf serve` process (possibly on another host)."""
+
+    def __init__(self, endpoint: str, num_threads: int = 32,
+                 timeout: float = 600.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.num_threads = num_threads
+        self.timeout = timeout
+
+    def _one(self, question: str, image, max_new_tokens=None) -> str:
+        import urllib.request
+
+        body = json.dumps({
+            "question": question,
+            "image": image,
+            "max_new_tokens": max_new_tokens,
+        }).encode()
+        req = urllib.request.Request(
+            self.endpoint + "/generate", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            out = json.loads(r.read())
+        if "error" in out:
+            raise RuntimeError(out["error"])
+        return out["text"]
+
+    def run_vqa(self, rows, batch_size: int = 16, prompt_key: str =
+                "question", image_key: str = "img", progress: bool = False):
+        from concurrent.futures import ThreadPoolExecutor
+
+        rows = [dict(r) for r in rows]
+        with ThreadPoolExecutor(self.num_threads) as ex:
+            texts = list(ex.map(
+                lambda r: self._one(r[prompt_key], r.get(image_key)), rows
+            ))
+        for r, t in zip(rows, texts):
+            r["response"] = t
+        return rows
+
+    def run_vqa_ppl(self, *a, **k):
+        raise NotImplementedError(
+            "ppl (CE-ranking) benchmarks need logprobs — run them locally; "
+            "the endpoint serves generation only (matching the reference's "
+            "sgl path, which is generate-only too)"
+        )
+
+
+def serve_http(
+    server: EngineServer,
+    builder: RequestBuilder,
+    tokenizer,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    request_timeout: float = 600.0,
+):
+    """Blocking HTTP front-end. Returns the HTTPServer (call .shutdown()
+    from another thread to stop); pass port=0 for an ephemeral port
+    (server.server_address[1])."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {
+                    "ok": True,
+                    "slots": server.engine.n_slots,
+                    "cache_len": server.engine.cache_len,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                req = builder.build(
+                    body["question"],
+                    body.get("image"),
+                    body.get("max_new_tokens"),
+                )
+                toks = server.submit(req).result(timeout=request_timeout)
+                text = tokenizer.decode(
+                    list(toks), skip_special_tokens=True
+                ).strip()
+                self._json(200, {"text": text, "tokens": len(toks)})
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    return httpd
