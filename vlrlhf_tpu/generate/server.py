@@ -90,6 +90,11 @@ class EngineServer:
         self._lock = threading.Lock()
         self._next_id = 0
         self._thread: Optional[threading.Thread] = None
+        import time
+
+        self._t0 = time.time()
+        self._done = 0
+        self._tokens = 0
 
     def start(self) -> "EngineServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -111,7 +116,22 @@ class EngineServer:
     def _finish(self, ridx: int, tokens: list[int]):
         with self._lock:
             fut = self._futures.pop(ridx)
+            self._done += 1
+            self._tokens += len(tokens)
         fut.set_result(tokens)
+
+    def stats(self) -> dict:
+        import time
+
+        with self._lock:
+            dt = max(time.time() - self._t0, 1e-9)
+            return {
+                "requests_done": self._done,
+                "requests_inflight": len(self._futures),
+                "tokens_out": self._tokens,
+                "tokens_per_sec": round(self._tokens / dt, 2),
+                "uptime_s": round(dt, 1),
+            }
 
     def submit(self, req: Request) -> Future:
         need = len(req.input_ids) + (
@@ -272,6 +292,8 @@ def serve_http(
                     "slots": server.engine.n_slots,
                     "cache_len": server.engine.cache_len,
                 })
+            elif self.path == "/metrics":
+                self._json(200, server.stats())
             else:
                 self._json(404, {"error": "not found"})
 
