@@ -61,6 +61,29 @@ def _reward(batch):
     return jnp.asarray(hits / np.maximum(m.sum(1), 1), jnp.float32)
 
 
+def test_rollout_to_batch_explicit_lengths():
+    """resp_lens from the engine must win over pad-sentinel counting: a
+    SAMPLED token equal to pad_id mid-response is a real token, and the
+    trailing eos must stay at the response end (the reward position)."""
+    import numpy as np
+
+    pb = {
+        "input_ids": np.asarray([[7, 8, 9, 0, 0, 0]], np.int32),
+        "prompt_lens": np.asarray([3], np.int32),
+    }
+    eos = 99
+    # response: [5, PAD-as-real-token, eos] — 3 real tokens
+    tokens = np.asarray([[5, 0, eos, 0, 0, 0]], np.int32)
+    naive = rollout_to_batch(pb, tokens, 0)
+    exact = rollout_to_batch(pb, tokens, 0, resp_lens=[3])
+    # the fallback undercounts (2) and drops the eos from the splice
+    assert naive["response_mask"].sum() == 2
+    assert exact["response_mask"].sum() == 3
+    row = exact["input_ids"][0]
+    assert row[3] == 5 and row[4] == 0 and row[5] == eos
+    assert exact["pad_mask"][0, :6].all()
+
+
 def test_first_update_invariants():
     cfg, params, lcfg, ppo_cfg, state, stats_fn, update_fn = _setup()
     gen = Generator(

@@ -7,7 +7,7 @@ through the endpoint) next to the in-process ContinuousEngine number from
 BENCH (the delta is the HTTP + scheduler-thread overhead, which should be
 noise at 7B decode speeds).
 
-Usage: python tools/serve_bench.py [--reqs N] [--slots N] [--int8]
+Usage: python tools/serve_bench.py [--reqs N] [--slots N] [--tiny]
 """
 import sys
 import threading
@@ -20,13 +20,13 @@ import numpy as np  # noqa: E402
 
 from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request  # noqa: E402
 from vlrlhf_tpu.generate.engine import GenerateConfig  # noqa: E402
-from vlrlhf_tpu.generate.server import EndpointRunner, EngineServer  # noqa: E402
+from vlrlhf_tpu.generate.server import EngineServer  # noqa: E402
 
 
 def main():
     n_reqs = int(sys.argv[sys.argv.index("--reqs") + 1]) if "--reqs" in sys.argv else 48
     n_slots = int(sys.argv[sys.argv.index("--slots") + 1]) if "--slots" in sys.argv else 16
-    int8 = "--int8" in sys.argv or True  # 7B bf16 doesn't fit 16 GiB
+    int8 = True  # forced: 7B bf16 does not fit a 16 GiB chip
 
     from vlrlhf_tpu.models.registry import FAMILIES, scale_down
     from vlrlhf_tpu.models.vlm import init_vlm_params

@@ -202,6 +202,20 @@ def _load_bundle(args):
     return bundle
 
 
+def _stop_ids(processor, family, synthetic: bool) -> tuple:
+    """Family stop tokens + tokenizer eos as generation stop ids (the
+    reference's per-model generation configs, e.g. QwenVL ChatML stop
+    words, models/QwenVL/__init__.py:39-46)."""
+    ids = tuple(
+        processor.tokenizer.convert_token_to_id(t)
+        for t in family.stop_tokens
+    ) if family.stop_tokens and not synthetic else ()
+    eos = processor.tokenizer.eos_token_id
+    if eos is not None:
+        ids = ids + (eos,)
+    return ids
+
+
 def _load_rows(args, with_pairs=True):
     if args.synthetic:
         return _synthetic_rows(args.synthetic, with_pairs)
@@ -826,12 +840,7 @@ def cmd_ppo(args):
     # model-specific generation configs (e.g. QwenVL ChatML stop words,
     # models/QwenVL/__init__.py:39-46) — mixed response lengths are also
     # exactly where continuous-batching rollouts win.
-    stop_ids = tuple(
-        processor.tokenizer.convert_token_to_id(t)
-        for t in family.stop_tokens
-    ) if family.stop_tokens and not args.synthetic else ()
-    if processor.tokenizer.eos_token_id is not None:
-        stop_ids = stop_ids + (processor.tokenizer.eos_token_id,)
+    stop_ids = _stop_ids(processor, family, args.synthetic)
     rollout_gen_cfg = GenerateConfig(
         max_new_tokens=args.max_new_tokens, do_sample=True,
         temperature=1.0, pad_token_id=pad_id, eos_token_ids=stop_ids,
@@ -920,20 +929,38 @@ def cmd_ppo(args):
                 tokens = np.full(
                     (bs, args.max_new_tokens), pad_id, np.int32
                 )
+                resp_lens = np.zeros((bs,), np.int32)
                 for i, toks in enumerate(outs):
                     tokens[i, : len(toks)] = toks
+                    resp_lens[i] = len(toks)
             else:
-                parts = []
+                parts, lparts = [], []
                 for cs in range(0, bs, chunk_sz):
                     sub = {
                         k: v[cs : cs + chunk_sz] if hasattr(v, "shape") else v
                         for k, v in pb.items()
                     }
                     rng, krng = jax.random.split(rng)
-                    parts.append(np.asarray(gen(params, sub, rng=krng)))
+                    out, st = gen(params, sub, rng=krng, return_state=True)
+                    parts.append(np.asarray(out))
+                    lparts.append(
+                        np.asarray(st["lengths"])
+                        - np.asarray(sub["prompt_lens"])
+                    )
                 tokens = np.concatenate(parts, axis=0)
+                # engine lengths count decode-step kv advances: a row that
+                # emitted r tokens (incl. its eos) advanced r-1 times, and
+                # a first-token-eos row (masked to empty) advanced 0 — so
+                # resp_len = adv+1 except adv==0 stays 0. EXACT even when a
+                # sampled token equals pad_id (counting pad sentinels would
+                # drop the trailing eos and shift the reward position).
+                adv = np.concatenate(lparts, axis=0)
+                if args.max_new_tokens == 1:
+                    resp_lens = (tokens != pad_id).sum(axis=1)
+                else:
+                    resp_lens = np.where(adv == 0, 0, adv + 1)
             rollout_dt = _time.perf_counter() - _t0
-            batch = rollout_to_batch(pb, tokens, pad_id)
+            batch = rollout_to_batch(pb, tokens, pad_id, resp_lens=resp_lens)
             raw_scores = np.asarray(reward_fn(batch), np.float32)
             if not np.all(np.isfinite(raw_scores)):
                 raise ValueError(f"non-finite RM scores: {raw_scores}")
@@ -1061,12 +1088,7 @@ def cmd_eval(args):
         from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
 
         params = jax.jit(fuse_vlm_params, donate_argnums=0)(params)
-    stop_ids = tuple(
-        processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
-    ) if family.stop_tokens and not args.synthetic else ()
-    eos = processor.tokenizer.eos_token_id
-    if eos is not None:
-        stop_ids = stop_ids + (eos,)
+    stop_ids = _stop_ids(processor, family, args.synthetic)
     runner = EvalRunner(
         model_cfg=cfg,
         params=params,
@@ -1177,12 +1199,7 @@ def cmd_serve(args):
         from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
 
         params = jax.jit(fuse_vlm_params, donate_argnums=0)(params)
-    stop_ids = tuple(
-        processor.tokenizer.convert_token_to_id(t) for t in family.stop_tokens
-    ) if family.stop_tokens and not args.synthetic else ()
-    eos = processor.tokenizer.eos_token_id
-    if eos is not None:
-        stop_ids = stop_ids + (eos,)
+    stop_ids = _stop_ids(processor, family, args.synthetic)
     gen_cfg = GenerateConfig(
         max_new_tokens=args.max_new_tokens,
         eos_token_ids=stop_ids,

@@ -94,29 +94,19 @@ class EvalRunner:
         """Slot-refill serving (generate/continuous.py): mixed response
         lengths no longer straggle whole batches — the sglang-server role's
         core win, in-process."""
-        from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
+        from vlrlhf_tpu.generate.continuous import ContinuousEngine
+        from vlrlhf_tpu.generate.server import RequestBuilder
 
-        reqs = []
-        for r in rows:
-            prow = self._prompt_row(r[prompt_key], r.get(image_key))
-            b = self._gen_collator([prow])
-            plen = int(b["prompt_lens"][0])
-            has_img = prow.get("img_path") is not None
-            if b.get("anyres_gather") is not None and has_img:
-                pv, gather = b["pixel_values"][0], b["anyres_gather"][0]
-            elif has_img:
-                pv, gather = b["pixel_values"][0, 0], None
-            else:
-                pv = gather = None
-            reqs.append(Request(
-                input_ids=np.asarray(b["input_ids"][0, :plen]),
-                pixel_values=pv,
-                image_positions=(
-                    np.asarray(b["image_positions"][0]) if has_img else None
-                ),
-                qformer_input_ids=prow.get("qformer_input_ids"),
-                anyres_gather=gather,
-            ))
+        # ONE Request-construction path for the harness, the HTTP server,
+        # and any other caller (generate/server.py RequestBuilder) — the
+        # prompt templating / image-token expansion / anyres slicing must
+        # not fork per consumer.
+        builder = RequestBuilder(
+            self.processor, self.collator_cfg, self.image_loader
+        )
+        reqs = [
+            builder.build(r[prompt_key], r.get(image_key)) for r in rows
+        ]
         cache_len = -(-(max(len(q.input_ids) for q in reqs)
                         + self.gen_cfg.max_new_tokens) // 128) * 128
         key = (n_slots, cache_len)

@@ -453,7 +453,11 @@ class ContinuousEngine:
             """Append one sampled token; False when the slot retired."""
             ridx = int(req_idx[slot])
             if tok in eos:
-                if self.emit_stop_token:
+                # a FIRST-token eos stays out of the response either way:
+                # the static engine masks it to an empty response
+                # (engine.py out0), and PPO reward positions must agree
+                # between the static and CB rollout paths
+                if self.emit_stop_token and resp[ridx]:
                     resp[ridx].append(tok)
                 finish(slot)
                 return False

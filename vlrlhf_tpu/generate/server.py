@@ -95,6 +95,7 @@ class EngineServer:
         self._t0 = time.time()
         self._done = 0
         self._tokens = 0
+        self._dead: Optional[BaseException] = None
 
     def start(self) -> "EngineServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -108,7 +109,13 @@ class EngineServer:
             )
         except BaseException as e:  # noqa: BLE001 — fail pending futures
             with self._lock:
+                # dead is set BEFORE the futures swap: any submit() that
+                # raced past the liveness check is either already in
+                # `futs` (failed below) or will see _dead and raise — no
+                # orphaned Future can hang a client forever
+                self._dead = e
                 futs, self._futures = self._futures, {}
+            self._src.close()
             for f in futs.values():
                 if not f.done():
                     f.set_exception(e)
@@ -144,12 +151,27 @@ class EngineServer:
             )
         fut: Future = Future()
         with self._lock:
+            if self._dead is not None:
+                raise RuntimeError(
+                    f"engine scheduler died: {self._dead!r}"
+                ) from self._dead
             ridx = self._next_id
             self._next_id += 1
             self._futures[ridx] = fut  # registered BEFORE the scheduler
             # can possibly take+finish it
-        self._src.push(ridx, req)
+        try:
+            self._src.push(ridx, req)
+        except RuntimeError:
+            with self._lock:
+                self._futures.pop(ridx, None)
+            raise
         return fut
+
+    @property
+    def alive(self) -> bool:
+        return self._dead is None and (
+            self._thread is not None and self._thread.is_alive()
+        )
 
     def stop(self, timeout: float = 30.0):
         self._src.close()
@@ -179,7 +201,9 @@ class RequestBuilder:
         from vlrlhf_tpu.data.processor import make_single_turn_conv
 
         proc = self.processor
-        n_img = 0 if img_path is None else 1
+        n_img = 0 if img_path is None else (
+            len(img_path) if isinstance(img_path, list) else 1
+        )
         prompt = proc.format_multimodal_prompt(question, n_img)
         conv = make_single_turn_conv(prompt, "")
         ids = proc.maybe_prefix_image_ids(
@@ -287,8 +311,8 @@ def serve_http(
 
         def do_GET(self):
             if self.path == "/health":
-                self._json(200, {
-                    "ok": True,
+                self._json(200 if server.alive else 500, {
+                    "ok": server.alive,
                     "slots": server.engine.n_slots,
                     "cache_len": server.engine.cache_len,
                 })

@@ -84,6 +84,11 @@ def pipeline_decoder(
         remat_policy_for,
     )
 
+    assert not cfg.sequence_parallel_axis, (
+        "pipeline parallelism and ring-attention sequence parallelism are "
+        "mutually exclusive: the SP branch opens its own full-mesh "
+        "shard_map, which cannot nest inside the pipe-manual region"
+    )
     mesh = get_global_mesh()
     s_pipe = dict(mesh.shape).get("pipe", 1)
     assert s_pipe == cfg.pipeline_stages, (

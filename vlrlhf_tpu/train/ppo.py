@@ -311,6 +311,12 @@ def rollout_to_batch(
     prompt_batch: dict,
     response_tokens,  # (B, N) from the generation engine (pad-filled)
     pad_token_id: int,
+    resp_lens=None,  # (B,) EXACT response lengths from the engine. Without
+    # them, lengths fall back to counting non-pad tokens — wrong whenever a
+    # SAMPLED token equals pad_token_id (a real vocab id): the splice then
+    # drops the trailing eos and the reward/KL positions shift. The PPO CLI
+    # passes engine lengths in both rollout modes; only legacy callers with
+    # greedy/eos-free rollouts should rely on the fallback.
 ) -> dict:
     """Host-side: splice generated responses after each row's prompt.
 
@@ -325,7 +331,10 @@ def rollout_to_batch(
     plens = np.asarray(prompt_batch["prompt_lens"])
     resp = np.asarray(response_tokens)
     b, n_new = resp.shape
-    resp_lens = (resp != pad_token_id).sum(axis=1)
+    if resp_lens is None:
+        resp_lens = (resp != pad_token_id).sum(axis=1)
+    else:
+        resp_lens = np.asarray(resp_lens)
     L = int((plens + resp_lens).max())
     L = -(-L // 128) * 128 if L > 128 else L
     ids = np.full((b, L), pad_token_id, ids_p.dtype)
