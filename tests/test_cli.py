@@ -80,6 +80,23 @@ def test_cli_ppo_continuous_rollouts(tmp_path):
                 assert v == v, (k, r)  # no NaN
 
 
+def test_cli_ppo_checkpoint_resume(tmp_path):
+    """PPO now checkpoints periodically and resumes: step 1..2 saved, a
+    resumed run starts at step 3 (the reference's custom PPO loop has no
+    mid-run saves at all, base/trainer.py:428-499)."""
+    main(["ppo", *_common(tmp_path), "--max_new_tokens", "4",
+          "--max_steps", "2", "--save_steps", "1"])
+    assert os.path.isdir(tmp_path / "checkpoints")
+    main(["ppo", *_common(tmp_path), "--max_new_tokens", "4",
+          "--max_steps", "3", "--save_steps", "1",
+          "--resume_from_checkpoint", "auto"])
+    records = [
+        json.loads(line) for line in open(tmp_path / "ppo_metrics.jsonl")
+    ]
+    # first run logged steps 1,2; the resumed run logged only step 3
+    assert [r["step"] for r in records] == [1, 2, 3], records
+
+
 def test_cli_eval_synthetic(tmp_path):
     rows = [
         {"text": "is there a dog?", "label": "yes", "image": "a.jpg"},

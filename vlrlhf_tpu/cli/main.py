@@ -764,6 +764,10 @@ def cmd_ppo(args):
         )
     tx = make_optimizer(ocfg, trainable)
     state = init_train_state(trainable, tx)
+    from vlrlhf_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    state, start_it = _maybe_resume(args, state, ckpt)
     ppo_cfg = PPOConfig(
         lora_scale=lcfg.scale, init_kl_coef=args.init_kl_coef,
         ppo_epochs=args.ppo_epochs, minibatch_size=args.minibatch_size,
@@ -853,8 +857,22 @@ def cmd_ppo(args):
     )
     chunk_sz = max(1, min(args.rollout_chunk_size, bs))
     cb_engines: dict = {}
+    from vlrlhf_tpu.train.loop import PreemptionGuard
 
-    for it in range(n_steps):
+    guard = PreemptionGuard().install()
+    last_saved = -1
+
+    def _ppo_ckpt(it):
+        nonlocal last_saved
+        if it != last_saved:
+            ckpt.save(it, {
+                "trainable": state.trainable,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            })
+            last_saved = it
+
+    for it in range(start_it, n_steps):
         chunk = rows[(it * bs) % len(rows) : (it * bs) % len(rows) + bs]
         if len(chunk) < bs:
             chunk = (chunk + rows)[:bs]
@@ -1005,6 +1023,16 @@ def cmd_ppo(args):
             tokens.size / max(rollout_dt, 1e-9)
         )
         logger.log(it + 1, metrics)
+        if (it + 1) % args.save_steps == 0:
+            # periodic PPO checkpoints + resume: the reference's custom PPO
+            # train() has no mid-run saves at all (base/trainer.py:428-499)
+            _ppo_ckpt(it + 1)
+        if guard.flag:
+            _ppo_ckpt(it + 1)
+            ckpt.wait()
+            logger.log(it + 1, {"train/preempted": 1.0})
+            print(f"preempted: PPO checkpoint saved at step {it + 1}")
+            break
         # gamelog: sample query/response pairs (the reference's wandb image
         # gamelog, base/trainer.py:493-497 — jsonl always; when wandb is the
         # sink AND the sample has an image, the reference's wandb.Image
@@ -1034,6 +1062,8 @@ def cmd_ppo(args):
                     {"step": it + 1, "prompt": chunk[0]["prompt"],
                      "response": resp, "score": float(scores[0])}
                 ) + "\n")
+    guard.uninstall()
+    ckpt.wait()
     _finish(args, state, params, lcfg, processor, cfg, family)
 
 

@@ -79,6 +79,44 @@ def batch_iterator(
                 return
 
 
+class PreemptionGuard:
+    """SIGTERM -> finish the current step, checkpoint, stop cleanly.
+
+    TPU pods are preemptible; the resource manager sends SIGTERM with a
+    grace window (the reference has nothing here — a killed rank loses
+    everything since the last --save_steps checkpoint,
+    SURVEY.md §5 failure/elastic: 'a crashed rank kills the job'). Every
+    process of a multi-host job receives the signal, so they all reach
+    the same save step and the orbax save stays collective-aligned.
+    Installation is a no-op off the main thread (signal module rules).
+    """
+
+    def __init__(self):
+        self.flag = False
+        self._prev = None
+        self._installed = False
+
+    def install(self) -> "PreemptionGuard":
+        import signal as _signal
+
+        def _on(signum, frame):
+            self.flag = True
+
+        try:
+            self._prev = _signal.signal(_signal.SIGTERM, _on)
+            self._installed = True
+        except ValueError:  # non-main thread
+            pass
+        return self
+
+    def uninstall(self):
+        if self._installed:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, self._prev)
+            self._installed = False
+
+
 def run_training(
     step_fn: Callable,  # (state, base_params, batch) -> (state, metrics)
     state: PyTree,
@@ -93,6 +131,7 @@ def run_training(
     start_step: int = 0,
     on_step: Optional[Callable] = None,  # (step_idx, metrics, state)
     concat_pairs: bool = False,
+    handle_preemption: bool = True,
 ) -> PyTree:
     """Drive the jitted step over batches; returns the final state.
 
@@ -100,6 +139,22 @@ def run_training(
     multi-process assembly preserves the first-half/second-half layout
     (core/dist.make_global_batch)."""
     from vlrlhf_tpu.core.dist import make_global_batch
+
+    guard = PreemptionGuard().install() if handle_preemption else None
+    last_saved = -1
+
+    def _ckpt(step_idx, state):
+        nonlocal last_saved
+        if checkpoint_manager is not None and step_idx != last_saved:
+            checkpoint_manager.save(
+                step_idx,
+                {
+                    "trainable": state.trainable,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                },
+            )
+            last_saved = step_idx
 
     step_idx = start_step
     pending_metrics = None
@@ -127,19 +182,25 @@ def run_training(
             logger.log(step_idx, host_metrics)
         if on_step is not None:
             on_step(step_idx, metrics, state)
-        if checkpoint_manager is not None and step_idx % save_steps == 0:
-            checkpoint_manager.save(
-                step_idx,
-                {
-                    "trainable": state.trainable,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
-                },
-            )
+        if step_idx % save_steps == 0:
+            _ckpt(step_idx, state)
+        if guard is not None and guard.flag:
+            # preempted: save at this step boundary and stop; the run
+            # resumes from here via --resume_from_checkpoint (bit-exact
+            # resume is already tested for the periodic path)
+            _ckpt(step_idx, state)
+            if checkpoint_manager is not None:
+                checkpoint_manager.wait()
+            if logger is not None:
+                logger.log(step_idx, {"train/preempted": 1.0})
+            print(f"preempted: checkpoint saved at step {step_idx}")
+            break
         if max_steps and step_idx >= max_steps:
             break
         pending_metrics = metrics
     del pending_metrics
+    if guard is not None:
+        guard.uninstall()
     return state
 
 
