@@ -65,6 +65,59 @@ def test_engine_server_concurrent_submissions_match_static():
         srv.stop()
 
 
+def test_chat_backend_sessions():
+    """Multi-turn /chat: session reuse keeps the KV cache live (turn 2 is
+    a chunked extend, not a re-prefill), sessions are deterministic, and
+    the LRU cap evicts the oldest session."""
+    import argparse
+
+    from vlrlhf_tpu.cli.main import _synthetic_bundle
+    from vlrlhf_tpu.data.collators import CollatorConfig
+    from vlrlhf_tpu.generate.server import ChatBackend
+
+    args = argparse.Namespace(
+        model_family="llava", max_length=64, max_prompt_length=48,
+        synthetic=2,
+    )
+    family, cfg, params, processor = _synthetic_bundle(args)
+    gen_cfg = GenerateConfig(
+        max_new_tokens=5,
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+    )
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=32, image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+    )
+    loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)  # noqa: E731
+
+    def backend():
+        return ChatBackend(
+            cfg, params, processor, ccfg, gen_cfg,
+            cache_len=256, max_sessions=2, image_loader=loader,
+        )
+
+    cb = backend()
+    t1, sid = cb.chat("describe the picture", image="x.jpg")
+    t2, sid2 = cb.chat("tell me more", session_id=sid)
+    assert sid2 == sid and isinstance(t1, str) and isinstance(t2, str)
+    assert t1  # greedy tiny model always emits something
+
+    # determinism: the same conversation through a fresh backend
+    cb2 = backend()
+    u1, s2 = cb2.chat("describe the picture", image="x.jpg")
+    u2, _ = cb2.chat("tell me more", session_id=s2)
+    assert (u1, u2) == (t1, t2)
+
+    # LRU: two more sessions evict sid; chatting on it starts a NEW
+    # session (fresh cache) rather than erroring
+    cb.chat("a", image=None)
+    cb.chat("b", image=None)
+    assert sid not in cb._sessions
+    t3, sid3 = cb.chat("hello again", session_id=sid)
+    assert sid3 == sid and isinstance(t3, str)
+
+
 def test_http_server_end_to_end():
     """Full HTTP round trip on the synthetic bundle: concurrent POSTs to
     /generate return the same text the in-process EvalRunner produces."""

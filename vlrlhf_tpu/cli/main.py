@@ -1259,8 +1259,17 @@ def cmd_serve(args):
     )
     srv = EngineServer(engine, params).start()
     builder = RequestBuilder(processor, ccfg, image_loader)
+    chat = None
+    if args.chat_sessions > 0:
+        from vlrlhf_tpu.generate.server import ChatBackend
+
+        chat = ChatBackend(
+            cfg, params, processor, ccfg, gen_cfg,
+            cache_len=cache_len, max_sessions=args.chat_sessions,
+            image_loader=image_loader,
+        )
     httpd = serve_http(
-        srv, builder, processor.tokenizer, args.host, args.port
+        srv, builder, processor.tokenizer, args.host, args.port, chat=chat
     )
     print(
         f"serving {args.model_family} on "
@@ -1412,6 +1421,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slots", type=int, default=8,
                    help="continuous-batching cache slots (concurrent "
                         "in-flight requests)")
+    p.add_argument("--chat_sessions", type=int, default=0,
+                   help=">0 enables POST /chat multi-turn sessions over "
+                        "live per-session KV caches (LRU-capped at this "
+                        "many; ~0.5 GiB/session at 7B bf16)")
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--quantize", type=str, default="false",
                    choices=["false", "true", "int8", "int4"])

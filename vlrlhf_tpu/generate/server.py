@@ -233,6 +233,105 @@ class RequestBuilder:
         )
 
 
+class ChatBackend:
+    """Multi-turn /chat sessions over the engine's ChatSession (chunked
+    prefill into a live per-session cache — no re-prefill of the
+    conversation each turn, the sglang-server session-reuse role).
+
+    One cache per session (cache_len slots), LRU-capped at max_sessions —
+    at 7B a 512-slot bf16 cache is ~0.5 GiB/session, so sessions are an
+    explicit opt-in budget (--chat_sessions). Turn N+1 tokens are the
+    template delta `assistant_end + user_begin + msg + user_end +
+    assistant_begin` tokenized standalone; assistant_end's leading
+    terminator doubles as the previous response's stop token, whose kv
+    the decode loop never wrote (ChatSession.extend contract). One chat
+    op runs at a time (the device serializes anyway); sessions share the
+    Generator's compiled programs."""
+
+    def __init__(
+        self,
+        model_cfg,
+        params: PyTree,
+        processor,
+        collator_cfg,
+        gen_cfg,
+        cache_len: int = 1024,
+        max_sessions: int = 4,
+        image_loader=None,
+    ):
+        from vlrlhf_tpu.data.collators import GenerationCollator
+        from vlrlhf_tpu.generate.engine import Generator
+
+        self.params = params
+        self.processor = processor
+        self.template = processor.template
+        self.gen_cfg = gen_cfg
+        self.cache_len = cache_len
+        self.max_sessions = max_sessions
+        self._gen = Generator(model_cfg, gen_cfg)
+        self._collator = GenerationCollator(
+            processor, collator_cfg, image_loader
+        )
+        from collections import OrderedDict
+
+        self._sessions: "OrderedDict[str, Any]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def _strip(self, row) -> str:
+        stop = set(int(t) for t in (self.gen_cfg.eos_token_ids or ()))
+        stop.add(int(self.gen_cfg.pad_token_id))
+        keep = []
+        for t in np.asarray(row).tolist():
+            if int(t) in stop:
+                break
+            keep.append(int(t))
+        return self.processor.tokenizer.decode(
+            keep, skip_special_tokens=True
+        ).strip()
+
+    def chat(self, message: str, session_id: Optional[str] = None,
+             image: Optional[str] = None) -> tuple[str, str]:
+        """Returns (response_text, session_id)."""
+        from vlrlhf_tpu.data.processor import make_single_turn_conv
+        from vlrlhf_tpu.generate.engine import ChatSession
+
+        with self._lock:
+            proc = self.processor
+            if session_id is None or session_id not in self._sessions:
+                self._counter += 1
+                session_id = session_id or f"s{self._counter}"
+                n_img = 0 if image is None else 1
+                prompt = proc.format_multimodal_prompt(message, n_img)
+                conv = make_single_turn_conv(prompt, "")
+                ids = proc.maybe_prefix_image_ids(
+                    proc.process_conv(conv)["input_ids"], n_img
+                )
+                prow = {"input_ids": ids, "img_path": image}
+                if proc.qformer_tokenizer is not None:
+                    prow["qformer_input_ids"] = proc.qformer_ids(message)
+                batch = self._collator([prow])
+                sess = ChatSession(self._gen, cache_len=self.cache_len)
+                out = sess.start(self.params, batch)
+                self._sessions[session_id] = sess
+                while len(self._sessions) > self.max_sessions:
+                    self._sessions.popitem(last=False)  # LRU evict
+            else:
+                sess = self._sessions.pop(session_id)
+                self._sessions[session_id] = sess  # move to MRU
+                t = self.template
+                delta = (
+                    t.assistant_end + t.user_begin + message + t.user_end
+                    + t.assistant_begin
+                )
+                ids = proc.tokenizer.encode(delta, add_special_tokens=False)
+                new_ids = np.asarray([ids], np.int32)
+                out = sess.extend(
+                    new_ids, np.asarray([len(ids)], np.int32)
+                )
+            return self._strip(np.asarray(out)[0]), session_id
+
+
 class EndpointRunner:
     """HTTP client runner for run_benchmark — the reference's REMOTE
     run_vqa_sgl mode (eval/utils.py:146-152: RuntimeEndpoint + run_batch
@@ -291,6 +390,7 @@ def serve_http(
     host: str = "127.0.0.1",
     port: int = 8000,
     request_timeout: float = 600.0,
+    chat: Optional[ChatBackend] = None,
 ):
     """Blocking HTTP front-end. Returns the HTTPServer (call .shutdown()
     from another thread to stop); pass port=0 for an ephemeral port
@@ -322,6 +422,24 @@ def serve_http(
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/chat":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if chat is None:
+                        self._json(400, {
+                            "error": "chat sessions disabled "
+                                     "(--chat_sessions 0)"
+                        })
+                        return
+                    text, sid = chat.chat(
+                        body["message"], body.get("session_id"),
+                        body.get("image"),
+                    )
+                    self._json(200, {"text": text, "session_id": sid})
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return
