@@ -65,6 +65,74 @@ def test_engine_server_concurrent_submissions_match_static():
         srv.stop()
 
 
+def test_score_endpoint_matches_local_ppl():
+    """Remote CE-ranking: /score returns the same per-row ppl the local
+    EvalRunner computes (the reference's sgl server is generate-only)."""
+    import argparse
+    import threading
+
+    from vlrlhf_tpu.cli.main import _synthetic_bundle
+    from vlrlhf_tpu.data.collators import CollatorConfig
+    from vlrlhf_tpu.eval.harness import EvalRunner
+    from vlrlhf_tpu.generate.server import (
+        EndpointRunner,
+        RequestBuilder,
+        serve_http,
+    )
+
+    args = argparse.Namespace(
+        model_family="llava", max_length=64, max_prompt_length=48,
+        synthetic=2,
+    )
+    family, cfg, params, processor = _synthetic_bundle(args)
+    gen_cfg = GenerateConfig(
+        max_new_tokens=4,
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+    )
+    ccfg = CollatorConfig(
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        bucket_multiple=32, image_size=cfg.vision.image_size,
+        resize_mode=family.resize_mode,
+    )
+    loader = lambda p, s, m: np.zeros((s, s, 3), np.uint8)  # noqa: E731
+    runner = EvalRunner(
+        model_cfg=cfg, params=params, processor=processor,
+        gen_cfg=gen_cfg, collator_cfg=ccfg,
+    )
+    runner.image_loader = loader
+    runner.__post_init__()
+    rows = [
+        {"question": "is it a cat?", "answer": "yes", "img": "a.jpg"},
+        {"question": "is it a cat?", "answer": "no", "img": "a.jpg"},
+        {"question": "what color?", "answer": "blue", "img": "b.jpg"},
+    ]
+    want = runner.run_vqa_ppl(rows)
+
+    engine = ContinuousEngine(cfg, gen_cfg, n_slots=2, cache_len=128)
+    srv = EngineServer(engine, params).start()
+    builder = RequestBuilder(processor, ccfg, loader)
+    lock = threading.Lock()
+
+    def scorer(r):
+        with lock:
+            return runner.run_vqa_ppl(r)
+
+    httpd = serve_http(
+        srv, builder, processor.tokenizer, port=0, scorer=scorer
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        ep = EndpointRunner(f"http://127.0.0.1:{port}", timeout=240)
+        got = ep.run_vqa_ppl(rows, batch_size=2)
+        np.testing.assert_allclose(
+            [r["ppl"] for r in got], [r["ppl"] for r in want], rtol=1e-6
+        )
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
 def test_chat_backend_sessions():
     """Multi-turn /chat: session reuse keeps the KV cache live (turn 2 is
     a chunked extend, not a re-prefill), sessions are deterministic, and

@@ -1259,6 +1259,26 @@ def cmd_serve(args):
     )
     srv = EngineServer(engine, params).start()
     builder = RequestBuilder(processor, ccfg, image_loader)
+    # /score: CE-ranking through an EvalRunner (remote ppl benchmarks —
+    # beyond the reference's generate-only sgl server). One score op at a
+    # time; the device serializes with the CB scheduler anyway.
+    import threading as _threading
+
+    from vlrlhf_tpu.eval.harness import EvalRunner
+
+    score_runner = EvalRunner(
+        model_cfg=cfg, params=params, processor=processor,
+        gen_cfg=gen_cfg, collator_cfg=ccfg,
+    )
+    if args.synthetic:
+        score_runner.image_loader = image_loader
+        score_runner.__post_init__()
+    _score_lock = _threading.Lock()
+
+    def scorer(rows):
+        with _score_lock:
+            return score_runner.run_vqa_ppl(rows)
+
     chat = None
     if args.chat_sessions > 0:
         from vlrlhf_tpu.generate.server import ChatBackend
@@ -1269,7 +1289,8 @@ def cmd_serve(args):
             image_loader=image_loader,
         )
     httpd = serve_http(
-        srv, builder, processor.tokenizer, args.host, args.port, chat=chat
+        srv, builder, processor.tokenizer, args.host, args.port, chat=chat,
+        scorer=scorer,
     )
     print(
         f"serving {args.model_family} on "

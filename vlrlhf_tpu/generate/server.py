@@ -375,12 +375,35 @@ class EndpointRunner:
             r["response"] = t
         return rows
 
-    def run_vqa_ppl(self, *a, **k):
-        raise NotImplementedError(
-            "ppl (CE-ranking) benchmarks need logprobs — run them locally; "
-            "the endpoint serves generation only (matching the reference's "
-            "sgl path, which is generate-only too)"
-        )
+    def run_vqa_ppl(self, rows, batch_size: int = 16, prompt_key: str =
+                    "question", answer_key: str = "answer",
+                    image_key: str = "img", progress: bool = False):
+        """Remote CE-ranking: POST /score per chunk. The reference's sgl
+        path cannot do this at all (generate-only) — ppl benchmarks
+        (SEEDBench CE mode, MMBench ppl) work against our daemon."""
+        import urllib.request
+
+        rows = [dict(r) for r in rows]
+        out = []
+        for start in range(0, len(rows), batch_size):
+            chunk = rows[start : start + batch_size]
+            body = json.dumps({"rows": [
+                {"question": r[prompt_key], "answer": r[answer_key],
+                 "image": r.get(image_key)} for r in chunk
+            ]}).encode()
+            req = urllib.request.Request(
+                self.endpoint + "/score", data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                res = json.loads(r.read())
+            if "error" in res:
+                raise RuntimeError(res["error"])
+            for row, ppl in zip(chunk, res["ppl"]):
+                row["ppl"] = float(ppl)
+                out.append(row)
+        return out
 
 
 def serve_http(
@@ -391,6 +414,8 @@ def serve_http(
     port: int = 8000,
     request_timeout: float = 600.0,
     chat: Optional[ChatBackend] = None,
+    scorer=None,  # callable(rows) -> rows with 'ppl' (EvalRunner.run_vqa_ppl
+    # under a lock); enables remote CE-ranking benchmarks via /score
 ):
     """Blocking HTTP front-end. Returns the HTTPServer (call .shutdown()
     from another thread to stop); pass port=0 for an ephemeral port
@@ -422,6 +447,23 @@ def serve_http(
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/score":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if scorer is None:
+                        self._json(400, {"error": "scoring disabled"})
+                        return
+                    rows = [
+                        {"question": r["question"], "answer": r["answer"],
+                         "img": r.get("image")}
+                        for r in body["rows"]
+                    ]
+                    scored = scorer(rows)
+                    self._json(200, {"ppl": [r["ppl"] for r in scored]})
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path == "/chat":
                 try:
                     n = int(self.headers.get("Content-Length", 0))
