@@ -238,6 +238,26 @@ def test_http_server_end_to_end():
         )
         assert all(isinstance(r["response"], str) for r in rows)
 
+        # SSE streaming: concatenated deltas must equal the one-shot text
+        sbody = json.dumps({
+            "question": questions[0], "image": "x.jpg", "stream": True,
+        }).encode()
+        sreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=sbody,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(sreq, timeout=240) as r:
+            events = r.read().decode()
+        deltas = [
+            json.loads(line[6:])
+            for line in events.splitlines()
+            if line.startswith("data: {")
+        ]
+        assert all("error" not in d for d in deltas), deltas
+        streamed = "".join(d["delta"] for d in deltas).strip()
+        assert events.rstrip().endswith("data: [DONE]")
+        assert streamed == rows[0]["response"], (streamed, rows[0])
+
         # parity with a direct engine run over the same built requests
         reqs = [builder.build(q, "x.jpg") for q in questions]
         direct = ContinuousEngine(

@@ -403,6 +403,8 @@ class ContinuousEngine:
         on_finish,
         rng: Optional[jax.Array] = None,
         progress: bool = False,
+        on_token=None,  # callable(ridx, tok) per streamed response token
+        # (fires burst-granular on the scheduler thread; eos excluded)
     ) -> None:
         """Generic slot-refill scheduler loop — the engine's heart, shared
         by batch mode (run/_ListSource) and the live server
@@ -462,6 +464,8 @@ class ContinuousEngine:
                 finish(slot)
                 return False
             resp[ridx].append(tok)
+            if on_token is not None:
+                on_token(ridx, tok)
             if len(resp[ridx]) >= stop_at[slot]:
                 finish(slot)
                 return False

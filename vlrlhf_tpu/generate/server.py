@@ -77,16 +77,23 @@ class QueueSource:
             self._cv.notify_all()
 
 
+class OverloadedError(RuntimeError):
+    """Backpressure signal: the request queue is at max depth (HTTP 503)."""
+
+
 class EngineServer:
     """Scheduler thread over a ContinuousEngine; submit() -> Future of the
     response token list."""
 
-    def __init__(self, engine: ContinuousEngine, params: PyTree, rng=None):
+    def __init__(self, engine: ContinuousEngine, params: PyTree, rng=None,
+                 max_queue: int = 256):
         self.engine = engine
         self.params = params
         self._rng = rng
+        self.max_queue = max_queue  # backpressure: refuse past this depth
         self._src = QueueSource()
         self._futures: dict[int, Future] = {}
+        self._stream_cbs: dict[int, Any] = {}
         self._lock = threading.Lock()
         self._next_id = 0
         self._thread: Optional[threading.Thread] = None
@@ -105,7 +112,8 @@ class EngineServer:
     def _loop(self):
         try:
             self.engine.serve(
-                self.params, self._src, self._finish, rng=self._rng
+                self.params, self._src, self._finish, rng=self._rng,
+                on_token=self._on_token,
             )
         except BaseException as e:  # noqa: BLE001 — fail pending futures
             with self._lock:
@@ -120,9 +128,15 @@ class EngineServer:
                 if not f.done():
                     f.set_exception(e)
 
+    def _on_token(self, ridx: int, tok: int):
+        cb = self._stream_cbs.get(ridx)
+        if cb is not None:
+            cb(tok)
+
     def _finish(self, ridx: int, tokens: list[int]):
         with self._lock:
             fut = self._futures.pop(ridx)
+            self._stream_cbs.pop(ridx, None)
             self._done += 1
             self._tokens += len(tokens)
         fut.set_result(tokens)
@@ -140,7 +154,7 @@ class EngineServer:
                 "uptime_s": round(dt, 1),
             }
 
-    def submit(self, req: Request) -> Future:
+    def submit(self, req: Request, on_token=None) -> Future:
         need = len(req.input_ids) + (
             req.max_new_tokens or self.engine.gen_cfg.max_new_tokens
         )
@@ -148,6 +162,10 @@ class EngineServer:
             raise ValueError(
                 f"request needs {need} cache slots, engine has "
                 f"{self.engine.cache_len}"
+            )
+        if self._src.pending() >= self.max_queue:
+            raise OverloadedError(
+                f"queue full ({self.max_queue} pending) — retry later"
             )
         fut: Future = Future()
         with self._lock:
@@ -159,6 +177,8 @@ class EngineServer:
             self._next_id += 1
             self._futures[ridx] = fut  # registered BEFORE the scheduler
             # can possibly take+finish it
+            if on_token is not None:
+                self._stream_cbs[ridx] = on_token
         try:
             self._src.push(ridx, req)
         except RuntimeError:
@@ -493,13 +513,53 @@ def serve_http(
                     body.get("image"),
                     body.get("max_new_tokens"),
                 )
+                if body.get("stream"):
+                    self._stream(req)
+                    return
                 toks = server.submit(req).result(timeout=request_timeout)
                 text = tokenizer.decode(
                     list(toks), skip_special_tokens=True
                 ).strip()
                 self._json(200, {"text": text, "tokens": len(toks)})
+            except OverloadedError as e:
+                self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — report to the client
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _stream(self, req):
+            """Server-sent events: text deltas as bursts land, then [DONE].
+            Granularity is the engine's decode burst (tokens reach the host
+            per packed download, not one by one — the right streaming unit
+            over a high-latency control link)."""
+            import queue as _q
+
+            tq: "_q.Queue" = _q.Queue()
+            fut = server.submit(req, on_token=tq.put)
+            fut.add_done_callback(lambda f: tq.put(None))
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            ids: list[int] = []
+            prev = ""
+            while True:
+                tok = tq.get(timeout=request_timeout)
+                if tok is None:
+                    break
+                ids.append(int(tok))
+                text = tokenizer.decode(ids, skip_special_tokens=True)
+                delta, prev = text[len(prev):], text
+                if delta:
+                    self.wfile.write(
+                        f"data: {json.dumps({'delta': delta})}\n\n".encode()
+                    )
+                    self.wfile.flush()
+            err = fut.exception()
+            if err is not None:
+                self.wfile.write(
+                    f"data: {json.dumps({'error': str(err)})}\n\n".encode()
+                )
+            self.wfile.write(b"data: [DONE]\n\n")
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     return httpd
