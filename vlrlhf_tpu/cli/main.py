@@ -1241,8 +1241,26 @@ def cmd_serve(args):
         top_p=args.top_p,
     )
     cache_len = -(-(args.max_length + args.max_new_tokens) // 128) * 128
+    adapter_names = None
+    adapter_sets = None
+    if args.adapter:
+        # multi-adapter registry (one base, N LoRA fine-tunes, per-request
+        # selection): all sets must share rank/targets (they stack into one
+        # tree) and the engine-wide --lora_alpha/--lora_r scale
+        from vlrlhf_tpu.train.checkpoint import load_params
+
+        adapter_names, adapter_sets = [], []
+        for spec in args.adapter:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--adapter expects NAME=PATH, got {spec!r}")
+            tree = load_params(path)
+            adapter_sets.append(tree.get("adapters", tree))
+            adapter_names.append(name)
     engine = ContinuousEngine(
         cfg, gen_cfg, n_slots=args.slots, cache_len=cache_len,
+        adapter_sets=adapter_sets,
+        lora_scale=args.lora_alpha / args.lora_r,
     )
     ccfg = CollatorConfig(
         pad_token_id=processor.tokenizer.pad_token_id or 0,
@@ -1290,7 +1308,7 @@ def cmd_serve(args):
         )
     httpd = serve_http(
         srv, builder, processor.tokenizer, args.host, args.port, chat=chat,
-        scorer=scorer,
+        scorer=scorer, adapter_names=adapter_names,
     )
     print(
         f"serving {args.model_family} on "
@@ -1442,6 +1460,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slots", type=int, default=8,
                    help="continuous-batching cache slots (concurrent "
                         "in-flight requests)")
+    p.add_argument("--adapter", action="append", default=None,
+                   metavar="NAME=PATH",
+                   help="register a LoRA set for multi-adapter serving "
+                        "(repeatable); requests pick one with "
+                        '{"adapter": NAME}. Sets must share rank/targets.')
     p.add_argument("--chat_sessions", type=int, default=0,
                    help=">0 enables POST /chat multi-turn sessions over "
                         "live per-session KV caches (LRU-capped at this "

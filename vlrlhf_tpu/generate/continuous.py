@@ -52,7 +52,7 @@ from vlrlhf_tpu.generate.engine import (
     _empty_pending,
     _generate_impl,
 )
-from vlrlhf_tpu.models.common import Ctx
+from vlrlhf_tpu.models.common import Ctx, serving_ctx
 
 PyTree = Any
 
@@ -70,6 +70,8 @@ class Request:
     qformer_input_ids: Optional[np.ndarray] = None
     anyres_gather: Optional[np.ndarray] = None
     max_new_tokens: Optional[int] = None  # per-request cap (else gen_cfg's)
+    adapter_idx: int = 0  # multi-adapter serving: which registered LoRA set
+    # decodes this request (ContinuousEngine adapter_sets; S-LoRA role)
 
 
 # Scheduler state rows (device-resident (4, B) int32).
@@ -98,7 +100,7 @@ def _cb_burst_impl(
     """Adaptive decode burst: up to `max_burst` tokens for every active slot
     in one dispatch. Returns (cache, pending, state, rng,
     packed (B, max_burst+2): [first-token echo | tokens | final length])."""
-    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    ctx = serving_ctx(adapters, lora_scale)
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
     lengths0, last0 = state[_LEN], state[_TOK]
     active0 = state[_ACT].astype(bool)
@@ -210,6 +212,12 @@ class ContinuousEngine:
         exit_free: int = 2,  # burst-exit threshold: wait for this many
         # finishes before paying a host turnaround (see _cb_burst_impl)
         adapters: Optional[PyTree] = None,
+        adapter_sets=None,  # list of adapter pytrees for MULTI-adapter
+        # serving: one base model, N LoRA sets, per-request selection via
+        # Request.adapter_idx. Stacked once (lora.stack_adapter_sets); each
+        # dispatch carries a per-row one-hot mix so every set's delta is
+        # computed once per step, mixed by a (B, N) matmul. Mutually
+        # exclusive with `adapters`.
         lora_scale: float = 1.0,
         emit_stop_token: bool = False,  # include the eos token in the
         # returned response (the static engine writes it to `out`; PPO
@@ -226,8 +234,28 @@ class ContinuousEngine:
         self.max_prefill_group = max(max_prefill_group, 1)
         self.exit_free = max(exit_free, 1)
         self.adapters = adapters
+        self._stacked = None
+        self.n_adapter_sets = 0
+        if adapter_sets:
+            assert adapters is None, (
+                "pass either adapters (single set) or adapter_sets (multi)"
+            )
+            from vlrlhf_tpu.lora.lora import stack_adapter_sets
+
+            self._stacked = stack_adapter_sets(list(adapter_sets))
+            self.n_adapter_sets = len(adapter_sets)
         self.lora_scale = lora_scale
         self._compiled: dict = {}
+
+    def _adapters_arg(self, idxs):
+        """Per-dispatch adapters argument: the stacked sets + a one-hot
+        (B, N) mix row per request/slot (rides the jitted call as numpy)."""
+        if self._stacked is None:
+            return self.adapters
+        idxs = np.asarray(idxs, np.int64)
+        mix = np.zeros((len(idxs), self.n_adapter_sets), np.float32)
+        mix[np.arange(len(idxs)), idxs] = 1.0
+        return dict(self._stacked, __mix__=mix)
 
     def _admit_fn(self, scratch_len: int):
         key = ("admit", scratch_len)
@@ -321,10 +349,14 @@ class ContinuousEngine:
         # duplicate-slot writes carry identical bytes (safe scatter race)
         slot_vec = np.full((bp,), slots[-1], np.int32)
         slot_vec[: len(slots)] = slots
+        aidx = [
+            getattr(reqs[min(i, len(reqs) - 1)], "adapter_idx", 0)
+            for i in range(bp)
+        ]
         return self._admit_fn(lb)(
             params, cache, pending, state, slot_vec, budgets,
             rows, pad, plens, pv, ipos, gather, qi, qm,
-            rng, self.adapters, self.lora_scale,
+            rng, self._adapters_arg(aidx), self.lora_scale,
         )
 
     def _fresh_buffers(self):
@@ -362,7 +394,7 @@ class ContinuousEngine:
         for ef in sorted({0, 1, self.exit_free}):
             cache, pending, state, rng, packed = self._burst_fn(ef)(
                 params, cache, pending, state, rng,
-                self.adapters, self.lora_scale,
+                self._adapters_arg([0] * self.n_slots), self.lora_scale,
             )
         np.asarray(packed)
 
@@ -539,9 +571,14 @@ class ContinuousEngine:
                 source.wait()
                 continue
             exit_free = min(self.exit_free, source.pending(), live)
+            slot_aidx = [
+                getattr(inflight[int(req_idx[i])], "adapter_idx", 0)
+                if req_idx[i] >= 0 else 0
+                for i in range(b)
+            ]
             cache, pending, state, rng, packed = self._burst_fn(exit_free)(
                 params, cache, pending, state, rng,
-                self.adapters, self.lora_scale,
+                self._adapters_arg(slot_aidx), self.lora_scale,
             )
             packed = np.asarray(packed)  # the round's ONE device download
             echo, toks = packed[:, 0], packed[:, 1:-1]

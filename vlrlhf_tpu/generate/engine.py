@@ -26,7 +26,7 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from vlrlhf_tpu.models.common import Ctx, embed
+from vlrlhf_tpu.models.common import Ctx, serving_ctx, embed
 from vlrlhf_tpu.models.lm.llama import lm_decode, lm_forward
 from vlrlhf_tpu.models.vlm import VLMConfig, vlm_forward
 from vlrlhf_tpu.ops.sampling import sample_tokens
@@ -73,7 +73,7 @@ def _generate_impl(
     lora_scale: float,
 ):
     b, l = input_ids.shape
-    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    ctx = serving_ctx(adapters, lora_scale)
     int8_cache = gen_cfg.kv_cache_dtype == "int8"
     # EMPTY-PREFILL mode: no input cache at all — each scan layer builds its
     # head-major (B, nkv, Sc, hd) cache as pad(transpose(chunk k/v)), int8-
@@ -185,7 +185,7 @@ def _decode_many_impl(
     lora_scale: float,
 ):
     """Device-loop decode: all steps in one dispatch (early exit on device)."""
-    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    ctx = serving_ctx(adapters, lora_scale)
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
     n_new = gen_cfg.max_new_tokens
 
@@ -230,7 +230,7 @@ def _decode_step_impl(
     with cache/out donated, XLA updates every buffer in place — a device loop
     carrying the multi-GB cache paid layout copies every iteration, measured
     ~3x slower per token at batch 64."""
-    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    ctx = serving_ctx(adapters, lora_scale)
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
     return _decode_body(
         model_cfg, gen_cfg, params, ctx, eos,
@@ -394,7 +394,7 @@ def _extend_impl(
     response token, decode to completion — all one dispatch."""
     from vlrlhf_tpu.models.lm.llama import lm_prefill_chunk
 
-    ctx = Ctx(adapters=adapters, lora_scale=lora_scale)
+    ctx = serving_ctx(adapters, lora_scale)
     b = new_ids.shape[0]
     last_logits, cache, lengths = lm_prefill_chunk(
         model_cfg.lm,

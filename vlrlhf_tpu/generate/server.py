@@ -217,6 +217,7 @@ class RequestBuilder:
         question: str,
         img_path: Optional[str] = None,
         max_new_tokens: Optional[int] = None,
+        adapter_idx: int = 0,
     ) -> Request:
         from vlrlhf_tpu.data.processor import make_single_turn_conv
 
@@ -250,6 +251,7 @@ class RequestBuilder:
             qformer_input_ids=prow.get("qformer_input_ids"),
             anyres_gather=gather,
             max_new_tokens=max_new_tokens,
+            adapter_idx=adapter_idx,
         )
 
 
@@ -434,7 +436,9 @@ def serve_http(
     port: int = 8000,
     request_timeout: float = 600.0,
     chat: Optional[ChatBackend] = None,
-    scorer=None,  # callable(rows) -> rows with 'ppl' (EvalRunner.run_vqa_ppl
+    scorer=None,
+    adapter_names: Optional[list] = None,  # multi-adapter registry: body
+    # "adapter": name -> Request.adapter_idx (engine adapter_sets order)  # callable(rows) -> rows with 'ppl' (EvalRunner.run_vqa_ppl
     # under a lock); enables remote CE-ranking benchmarks via /score
 ):
     """Blocking HTTP front-end. Returns the HTTPServer (call .shutdown()
@@ -508,10 +512,23 @@ def serve_http(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                aidx = 0
+                if body.get("adapter") is not None:
+                    if not adapter_names or (
+                        body["adapter"] not in adapter_names
+                    ):
+                        self._json(400, {
+                            "error": f"unknown adapter "
+                                     f"{body['adapter']!r}; registered: "
+                                     f"{adapter_names or []}"
+                        })
+                        return
+                    aidx = adapter_names.index(body["adapter"])
                 req = builder.build(
                     body["question"],
                     body.get("image"),
                     body.get("max_new_tokens"),
+                    adapter_idx=aidx,
                 )
                 if body.get("stream"):
                     self._stream(req)

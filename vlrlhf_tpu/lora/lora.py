@@ -129,6 +129,11 @@ def lora_delta(
     mask: Optional[jax.Array] = None,  # (..., seq) 1 = apply (PLoRA im_mask)
     dropout_rng: Optional[jax.Array] = None,
     dropout: float = 0.0,
+    mix: Optional[jax.Array] = None,  # (B, N) multi-adapter mixing weights
+    # over sets stacked by stack_adapter_sets; each set's delta is read/
+    # computed ONCE per call (not per row) and combined by the mix matmul
+    # — N stays small (serving registry), so the extra bandwidth is
+    # N x adapter bytes, not B x.
 ) -> jax.Array | None:
     """delta = dropout(x) @ a @ b * scale, optionally position-masked."""
     if adapter is None:
@@ -139,10 +144,45 @@ def lora_delta(
         h = jnp.where(keep, x / (1.0 - dropout), 0.0)
     a = adapter["a"].astype(x.dtype)
     b = adapter["b"].astype(x.dtype)
-    delta = (h @ a) @ b * scale
+    if mix is not None:
+        if mix.shape[0] != h.shape[0]:
+            raise ValueError(
+                f"adapter_mix has {mix.shape[0]} rows but this module's "
+                f"batch is {h.shape[0]} — multi-adapter serving supports "
+                "LM-path adapters only (a vision tower's batch is images/"
+                "tiles, not request rows)"
+            )
+        # a (N, in, r), b (N, r, out), h (B, S, in), mix (B, N)
+        t = jnp.einsum("bsh,nhr->nbsr", h, a)
+        d = jnp.einsum("nbsr,nro->nbso", t, b)
+        delta = jnp.einsum("nbso,bn->bso", d, mix.astype(x.dtype)) * scale
+    else:
+        delta = (h @ a) @ b * scale
     if mask is not None:
         delta = delta * mask[..., None].astype(delta.dtype)
     return delta
+
+
+def stack_adapter_sets(sets: Sequence[PyTree]) -> PyTree:
+    """Stack N adapter pytrees for multi-adapter serving (Ctx.adapter_mix).
+
+    Plain leaves (in, r) stack to (N, in, r); SCANNED leaves (leading layer
+    axis, path contains '_scanned') stack to (L, N, in, r) so the decoder's
+    per-layer scan slice still strips the layer axis first. All sets must
+    share structure and shapes (same LoraConfig targets/rank)."""
+    import jax.tree_util as jtu
+
+    flat0, treedef = jtu.tree_flatten_with_path(sets[0])
+    flats = [jtu.tree_flatten_with_path(s)[0] for s in sets]
+    leaves = []
+    for i, (keypath, _) in enumerate(flat0):
+        path = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+        )
+        stack = [f[i][1] for f in flats]
+        axis = 1 if "_scanned" in path else 0
+        leaves.append(jnp.stack(stack, axis=axis))
+    return jtu.tree_unflatten(treedef, leaves)
 
 
 def merge_lora(params: PyTree, adapters: PyTree, scale: float) -> PyTree:

@@ -38,6 +38,11 @@ class Ctx:
     dropout_rng: Optional[jax.Array] = None
     lora_dropout: float = 0.0
     attn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # Multi-adapter serving (one base model, N LoRA sets, per-row
+    # selection — the S-LoRA/punica pattern): (B, N) mixing weights over
+    # adapter trees stacked with lora.stack_adapter_sets. One-hot rows
+    # select; fractional rows interpolate. None = single-adapter mode.
+    adapter_mix: Optional[jax.Array] = None
 
     def sub(self, key: str) -> "Ctx":
         """Context for a child module: descend the adapter tree(s)."""
@@ -110,9 +115,24 @@ def linear_deltas(x: jax.Array, ctx: Optional[Ctx]) -> Optional[jax.Array]:
             ctx.lora_scale,
             dropout_rng=ctx.dropout_rng,
             dropout=ctx.lora_dropout,
+            mix=ctx.adapter_mix,
         )
         out = d if out is None else (out + d.astype(out.dtype))
     return out
+
+
+def serving_ctx(adapters, lora_scale: float, **kw) -> "Ctx":
+    """Ctx for the serving/jit boundary: a '__mix__' leaf at the adapters
+    root (the per-row (B, N) multi-adapter mixing weights riding the same
+    jit argument as the stacked adapter sets) moves into Ctx.adapter_mix,
+    which sub() then carries to every linear."""
+    mix = None
+    if isinstance(adapters, dict) and "__mix__" in adapters:
+        mix = adapters["__mix__"]
+        adapters = {k: v for k, v in adapters.items() if k != "__mix__"}
+    return Ctx(
+        adapters=adapters, lora_scale=lora_scale, adapter_mix=mix, **kw
+    )
 
 
 def embed(p: dict, ids: jax.Array, dtype: jnp.dtype) -> jax.Array:
