@@ -41,6 +41,8 @@ SEGMENTS = [
     ("spec", [sys.executable, "tools/spec_bench.py", "--7b", "--int8"],
      1500),
     ("srv", [sys.executable, "tools/serve_bench.py"], 1800),
+    ("srv4", [sys.executable, "tools/serve_bench.py", "--adapters", "4"],
+     1800),
     ("eval_gen", [sys.executable, "bench.py", "--eval"], 1800),
     ("cores", [sys.executable, "tools/judge_coresidency.py"], 1800),
     ("fam4", [sys.executable, "tools/family_bench.py", "--bits4", "llava"],

@@ -8,6 +8,10 @@ BENCH (the delta is the HTTP + scheduler-thread overhead, which should be
 noise at 7B decode speeds).
 
 Usage: python tools/serve_bench.py [--reqs N] [--slots N] [--tiny]
+    [--adapters N]
+  --adapters N  register N r=64 LoRA sets and alternate requests across
+                them — measures the multi-adapter serving tax (each set's
+                delta computed once per step) vs the plain run
 """
 import sys
 import threading
@@ -47,8 +51,23 @@ def main():
         max_new_tokens=256, pad_token_id=0, eos_token_ids=(2,),
         kv_cache_dtype="int8",
     )
+    n_ad = (int(sys.argv[sys.argv.index("--adapters") + 1])
+            if "--adapters" in sys.argv else 0)
+    adapter_sets = None
+    if n_ad:
+        from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+
+        lcfg = LoraConfig(r=64, alpha=16.0, dropout=0.0,
+                          target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"))
+        adapter_sets = [
+            jax.jit(lambda k: init_lora(params, lcfg, k))(
+                jax.random.PRNGKey(40 + i)
+            )
+            for i in range(n_ad)
+        ]
     engine = ContinuousEngine(
         cfg, gen_cfg, n_slots=n_slots, cache_len=512,
+        adapter_sets=adapter_sets,
     )
     srv = EngineServer(engine, params).start()
 
@@ -58,8 +77,9 @@ def main():
         Request(
             input_ids=rng.integers(5, 1000, (prompt,)).astype(np.int32),
             max_new_tokens=int(rng.integers(16, 257)),
+            adapter_idx=(i % n_ad) if n_ad else 0,
         )
-        for _ in range(n_reqs)
+        for i in range(n_reqs)
     ]
     # warm compile: one request through the whole path
     srv.submit(reqs[0]).result(timeout=1200)
@@ -80,7 +100,8 @@ def main():
     toks = sum(len(f.result(timeout=2400)) for f in futs)
     dt = time.perf_counter() - t0
     print(
-        f"serve_bench: {n_reqs} reqs / {n_slots} slots int8={int8}: "
+        f"serve_bench: {n_reqs} reqs / {n_slots} slots int8={int8} "
+        f"adapters={n_ad}: "
         f"{dt:.1f} s, {toks} tokens, {toks/dt:.0f} tok/s, "
         f"{n_reqs/dt:.2f} req/s"
     )
