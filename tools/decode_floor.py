@@ -4,13 +4,23 @@ The decode step at small batch is HBM-bound; this tool separates the step
 into its bandwidth components and measures each one's achievable rate, so
 the gap between the measured step and its roofline is attributable:
 
-  1. raw HBM stream rate for int8 / bf16 arrays (copy kernel, loop in jit)
+  1. raw HBM stream rate for int8 / bf16 arrays (reduce kernel, loop in jit)
   2. dequant-matmul effective weight-read rate at decode shapes
      (x (B,H) @ w_i8 (H,H') * scale — the serving matmul, loop in jit)
   3. fused-width variant: one (H, 3H) matmul vs three (H, H) — does wider
      streaming raise GB/s (the qkv/gate-up fusion question)?
   4. decode-attention kernel ms at bench shape (cache DMA component)
   5. full decode step ms (tools/decode_bench.py device mode) for reference
+
+Two measurement hazards this tool defends against (both bit the first
+version, which reported a physically impossible 2.9 TB/s "stream rate" on
+an ~819 GB/s chip):
+  - constant inputs: jnp.ones is a broadcast the compiler can fold through
+    reductions and matmuls without touching HBM — all arrays are random.
+  - loop-invariant hoisting: a fori_loop body that doesn't depend on the
+    carry gets its expensive op hoisted out of the loop by HLO LICM — every
+    body here threads the carry into the operand (x * (1 + acc * 1e-30))
+    or indexes by the induction variable, so each iteration really runs.
 
 All loops run INSIDE one jit (lax.fori_loop) — per-call tunnel overhead is
 ~0.55 ms, kernel-scale timings are meaningless otherwise (CLAUDE.md).
@@ -37,40 +47,61 @@ def _timed(fn, *args):
     return (time.perf_counter() - t0) / N_ITERS
 
 
-def stream_rate(nbytes_target=2 << 30, dtype=jnp.int8):
-    """Raw HBM read+write rate: y = x + 1 over a big array, N_ITERS times."""
+def _rand(key, shape, dtype):
+    if jnp.dtype(dtype) == jnp.int8:
+        return jax.random.randint(key, shape, -127, 127, jnp.int32).astype(
+            jnp.int8)
+    return jax.random.normal(key, shape, dtype)
+
+
+def stream_rate(nbytes_target=1 << 30, dtype=jnp.int8):
+    """Raw HBM read rate: reduce one of two random halves per iteration.
+
+    Indexing x[i % 2] (dynamic slice by the induction variable) defeats
+    both constant folding and loop-invariant hoisting: each iteration has
+    to stream half the buffer from HBM.
+    """
     n = nbytes_target // jnp.dtype(dtype).itemsize
-    x = jnp.ones((n,), dtype)
+    x = _rand(jax.random.PRNGKey(0), (2, n // 2), dtype)
 
     @jax.jit
     def run(x):
-        # a reduce reads the array once per iter with no write traffic
+        def body(i, a):
+            xi = jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False)
+            s = jnp.sum(xi.astype(jnp.int32) if x.dtype == jnp.int8
+                        else xi.astype(jnp.float32))
+            return a + s.astype(a.dtype)
+
         return jax.lax.fori_loop(
-            0, N_ITERS,
-            lambda i, a: a + jnp.sum(x.astype(jnp.int32) if dtype == jnp.int8
-                                     else x.astype(jnp.float32)).astype(
-                                         a.dtype),
-            jnp.zeros((), jnp.int32 if dtype == jnp.int8 else jnp.float32),
-        )
+            0, N_ITERS, body,
+            jnp.zeros((), jnp.int32 if x.dtype == jnp.int8 else jnp.float32))
 
     dt = _timed(run, x)
-    gbs = x.nbytes / dt / 1e9
+    per_iter_bytes = x.nbytes // 2
+    gbs = per_iter_bytes / dt / 1e9
     print(f"  stream {jnp.dtype(dtype).name:8s} read: {gbs:7.1f} GB/s "
-          f"({x.nbytes / 2**20:.0f} MiB, {dt * 1e3:.3f} ms/pass)")
+          f"({per_iter_bytes / 2**20:.0f} MiB/iter, {dt * 1e3:.3f} ms/iter)")
     return gbs
 
 
 def matmul_rate(b, h, out, dtype=jnp.int8, label=""):
-    """Effective weight-read GB/s of the serving dequant-matmul."""
-    w = jnp.ones((h, out), dtype)
+    """Effective weight-read GB/s of the serving dequant-matmul.
+
+    The activation is perturbed by the loop carry (x * (1 + acc*1e-30)) so
+    the matmul cannot be hoisted; the perturbation itself is (B,H) VPU work,
+    negligible next to streaming the (H,out) weight.
+    """
+    k = jax.random.PRNGKey(1)
+    w = _rand(k, (h, out), dtype)
     scale = jnp.full((1, out), 0.01, jnp.bfloat16)
-    x = jnp.ones((b, h), jnp.bfloat16)
+    x = _rand(jax.random.fold_in(k, 1), (b, h), jnp.bfloat16)
 
     @jax.jit
     def run(x, w, scale):
         def body(i, acc):
-            y = (x @ w.astype(jnp.bfloat16)) * scale
-            return acc + jnp.sum(y)
+            xi = x * (1 + acc * 1e-30).astype(x.dtype)
+            y = (xi @ w.astype(jnp.bfloat16)) * scale
+            return acc + jnp.sum(y.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, N_ITERS, body,
                                  jnp.zeros((), jnp.float32))
@@ -87,25 +118,28 @@ def attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=False):
     from vlrlhf_tpu.ops.decode_attention import decode_attention
 
     kdt = jnp.int8 if kv8 else jnp.bfloat16
-    ck = jnp.ones((layers, b, nkv, cache_len, hd), kdt)
-    cv = jnp.ones((layers, b, nkv, cache_len, hd), kdt)
+    key = jax.random.PRNGKey(2)
+    ck = _rand(key, (layers, b, nkv, cache_len, hd), kdt)
+    cv = _rand(jax.random.fold_in(key, 1), (layers, b, nkv, cache_len, hd),
+               kdt)
     ks = vs = None
     if kv8:
         ks = jnp.full((layers, b, nkv, cache_len), 0.01, jnp.bfloat16)
         vs = jnp.full((layers, b, nkv, cache_len), 0.01, jnp.bfloat16)
-    q = jnp.ones((b, nh, hd), jnp.bfloat16)
-    kc = jnp.ones((b, nkv, hd), jnp.bfloat16)
+    q = _rand(jax.random.fold_in(key, 2), (b, nh, hd), jnp.bfloat16)
+    kc = _rand(jax.random.fold_in(key, 3), (b, nkv, hd), jnp.bfloat16)
     lengths = jnp.full((b,), cache_len - 1, jnp.int32)
 
     @jax.jit
     def run(q, ck, cv, kc, lengths, ks, vs):
         def body(i, acc):
+            qi = q * (1 + acc * 1e-30).astype(q.dtype)
             o = 0.0
             for layer in range(layers):
                 o = o + jnp.sum(decode_attention(
-                    q, ck, cv, kc, kc, lengths, layer=layer,
+                    qi, ck, cv, kc, kc, lengths, layer=layer,
                     k_scale=ks, v_scale=vs,
-                ))
+                ).astype(jnp.float32))
             return acc + o
 
         return jax.lax.fori_loop(0, N_ITERS, body, jnp.zeros((), jnp.float32))
@@ -140,7 +174,7 @@ def main():
     r_qkv, _ = matmul_rate(b, h, nh * hd, label="wq (HxH)")
     matmul_rate(b, h, ff, label="gate (HxFF)")
     matmul_rate(b, ff, h, label="down (FFxH)")
-    matmul_rate(b, h, vocab, label="lm_head")
+    r_head, _ = matmul_rate(b, h, vocab, label="lm_head")
 
     print("[3] fused-width ablation (is wider better?)")
     _, t3 = matmul_rate(b, h, 3 * h, label="qkv fused (Hx3H)")
@@ -153,15 +187,19 @@ def main():
           f"-> fusion saves {(2 * tu - tg) * 1e6:.1f} us/layer-group")
 
     print("[4] decode-attention kernel")
-    attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=False)
+    t_attn = attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=False)
     attention_ms(b, nh, nkv, hd, cache_len, layers, kv8=True)
 
-    # roofline synthesis
+    # roofline synthesis: weight stream at the measured big-matmul rate +
+    # the measured attention kernel = the attributable floor for one step
     wbytes = layers * (h * nh * hd + 2 * h * nkv * hd + nh * hd * h
                        + 3 * h * ff) + h * vocab
+    t_w = wbytes / (r_head * 1e9)
     print(f"[5] int8 weight bytes/step: {wbytes / 2**30:.2f} GiB "
-          f"-> at measured wq rate {r_qkv:.0f} GB/s = "
-          f"{wbytes / (r_qkv * 1e9) * 1e3:.2f} ms weight floor")
+          f"-> at measured lm_head rate {r_head:.0f} GB/s = "
+          f"{t_w * 1e3:.2f} ms weight floor; + attention "
+          f"{t_attn * 1e3:.2f} ms = {(t_w + t_attn) * 1e3:.2f} ms "
+          f"attributable step floor")
     print("compare: python tools/decode_bench.py --int8 "
           f"--batch {b} (full step ms/token)")
 
