@@ -86,7 +86,10 @@ def test_quantize_params_bits4_and_fallback():
     q4 = quantize_params(params, bits=4)
     attn = q4["lm"]["layers_scanned"]["attn"]
     assert "kernel_q4" in attn["wq"], attn["wq"].keys()
-    assert attn["wq"]["kernel_q4"].shape == (2, 64, 128)  # (L, in/2, out)
+    # (L, half_p, out): in=128 -> half 64, padded to the 128-row Mosaic
+    # lane-alignment block; scale gains the odd-n_lo zero guard row
+    assert attn["wq"]["kernel_q4"].shape == (2, 128, 128)
+    assert attn["wq"]["kernel_scale"].shape == (2, 3, 128)
     assert "kernel_q4" in q4["lm"]["lm_head"]
 
     # in-dim not 128-divisible -> silent int8 fallback, not a failure

@@ -180,7 +180,8 @@ def test_quantize_during_port_int4_matches_post_quantize(tmp_path):
     assert jax.tree.structure(streamed) == jax.tree.structure(want)
     stack = streamed["lm"]["layers_scanned"]
     assert stack["attn"]["wq"]["kernel_q4"].dtype == jnp.int8
-    assert stack["attn"]["wq"]["kernel_q4"].shape == (2, 64, 128)
+    # (L, half_p, out): in=128 -> half 64 padded to the 128-row block
+    assert stack["attn"]["wq"]["kernel_q4"].shape == (2, 128, 128)
     assert streamed["lm"]["lm_head"]["kernel_q4"].dtype == jnp.int8
 
     def leaves_with_paths(t):

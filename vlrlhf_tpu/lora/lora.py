@@ -95,26 +95,27 @@ def init_lora(
     adapters: dict = {}
     keys = jax.random.split(rng, max(len(targets), 1))
     for key, path in zip(keys, sorted(targets)):
+        true_in = None
         if path in flat:
             kernel = flat[path]
-            in_mul = 1
         elif path + "_q" in flat:
             kernel = flat[path + "_q"]
-            in_mul = 1
         else:
-            # int4: two nibbles packed per byte along `in` (ops/int4.py)
+            # int4: packed rows are `in`-padded (ops/int4.py representation)
+            # — the true input width comes from the group-scale row count
             kernel = flat[path + "_q4"]
-            in_mul = 2
+            s_rows = flat[path + "_scale"].shape[-2]
+            true_in = 64 * (s_rows - s_rows % 2)
         if "_scanned" in path and kernel.ndim == 3:
             n_layers, d_in, d_out = kernel.shape
-            d_in *= in_mul
+            d_in = true_in or d_in
             a = jax.random.normal(key, (n_layers, d_in, config.r), dtype) / (
                 config.r**0.5
             )
             b = jnp.zeros((n_layers, config.r, d_out), dtype)
         else:
             d_in, d_out = kernel.shape
-            d_in *= in_mul
+            d_in = true_in or d_in
             a = jax.random.normal(key, (d_in, config.r), dtype) / config.r**0.5
             b = jnp.zeros((config.r, d_out), dtype)
         parts = path.split("/")[:-1]  # drop the trailing 'kernel'

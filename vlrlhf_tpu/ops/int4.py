@@ -12,16 +12,24 @@ path must materialize the unpacked kernel in HBM first — reading int4 +
 writing bf16 + reading bf16 is MORE bytes than int8. The win requires
 unpacking in VMEM between the DMA and the MXU, i.e. a Pallas kernel.
 
-Representation (per linear):
-  kernel_q4:    (in/2, out) int8 — two 4-bit codes per byte, SPLIT-HALF
-                packed: byte row i holds unpacked row i in its LOW nibble
-                and unpacked row i + in/2 in its HIGH nibble. Unpacking is
-                two sign-extending shifts yielding two CONTIGUOUS row
-                blocks — no sublane interleave (expensive on TPU).
-  kernel_scale: (in/GROUP, out) bf16 — symmetric per-(group, out-channel)
-                scales, GROUP=64 rows along `in` (finer than GPTQ's usual
-                128: the kernel iterates 64-row packed blocks, so group
-                boundaries align with iteration for free).
+Representation (per linear; `in` is the linear's true input width):
+  kernel_q4:    (half_p, out) int8, half_p = ceil(in/2 / 128) * 128 — two
+                4-bit codes per byte, SPLIT-HALF packed: byte row i < in/2
+                holds unpacked row i in its LOW nibble and row i + in/2 in
+                its HIGH nibble; rows >= in/2 are zero padding. Unpacking
+                is two sign-extending shifts yielding two CONTIGUOUS row
+                blocks — no sublane interleave (expensive on TPU). The
+                128-row padding exists because Mosaic requires lane-dim
+                (dim 1) vector accesses at offsets provably divisible by
+                128: the kernel walks x in 128-column steps, so the packed
+                panel must cover a whole number of 128-row blocks.
+  kernel_scale: (S, out) bf16 — symmetric per-(group, out-channel) scales,
+                GROUP=64 rows along `in`. Low-half groups occupy rows
+                [0, n_lo), high-half groups rows [n_lo, 2*n_lo) with
+                n_lo = in/128, plus ONE trailing zero row iff n_lo is odd
+                (keeps the kernel's paired-group scale reads in bounds).
+                The true input width is recoverable from the scale alone:
+                in = 64 * (S - S % 2).
 Codes are [-8, 7]; y[t,o] = sum_g scale[g,o] * (x[t, g*64:(g+1)*64] @
 q[g*64:(g+1)*64, o]).
 
@@ -30,11 +38,18 @@ params flow through decode, chunk prefill, full prefill, LoRA deltas, and
 the fused-wqkv layout (models/lm/fuse.py concatenates packed kernels along
 `out` — packing is along `in`, so fusion stays exact) unchanged.
 
-Kernel grid: (T blocks, out blocks). Each program DMAs its (in/2, O_blk)
-packed column panel + (in/64, O_blk) scales, loops 64-row packed blocks:
-two shifts (VPU), two (T_blk, 64) @ (64, O_blk) MXU dots, scale-weighted
-f32 accumulate. Runs in interpret mode off-TPU; `force_xla=True` is the
-dense dequant oracle for parity tests.
+Forward kernel grid: (T blocks, out blocks). Each program holds its
+(half_p, O_blk) packed column panel + (S, O_blk) scales + the (T_blk,
+half_p) low/high activation panels (the wrapper splits x at in/2 and
+zero-pads both halves to half_p — x columns are the only per-call copies;
+the weight is never copied). The loop walks 128-row packed blocks: two
+shifts (VPU) unpack 128-row low/high code blocks, per-64-row group scales
+are expanded by a broadcast + leading-dim-merge reshape (no sub-128
+slicing anywhere), and two (T_blk, 128) @ (128, O_blk) MXU dots
+accumulate in f32. Scaling the
+WEIGHT pre-dot (rather than the partial products post-dot) is what allows
+128-deep dots spanning two 64-row scale groups. Runs in interpret mode
+off-TPU; `force_xla=True` is the dense dequant oracle for parity tests.
 """
 
 from __future__ import annotations
@@ -48,11 +63,22 @@ from jax.experimental import pallas as pl
 
 PyTree = Any
 
-GROUP = 64  # quantization group rows along `in` (== packed-block rows * 1)
+GROUP = 64  # quantization group rows along `in`
+_BLK = 128  # packed rows (and x columns) per kernel loop step — the Mosaic
+# lane-alignment unit: every dim-1 dynamic access uses offsets j * _BLK
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _half_padded(half: int) -> int:
+    return -(-half // _BLK) * _BLK
+
+
+def _din_from_scale_rows(s_rows: int) -> int:
+    """Recover the linear's true input width from the scale row count."""
+    return GROUP * (s_rows - s_rows % 2)
 
 
 # ---------------------------------------------------------------------------
@@ -60,8 +86,8 @@ def _interpret() -> bool:
 
 
 def quantize_kernel_int4(k2d: jax.Array):
-    """(in, out) float kernel -> ((in/2, out) int8 packed, (in/64, out) bf16
-    scales). Requires in % (2 * GROUP) == 0 (halves split on group bounds)."""
+    """(in, out) float kernel -> ((half_p, out) int8 packed, (S, out) bf16
+    scales) per the module docstring. Requires in % (2 * GROUP) == 0."""
     din, dout = k2d.shape
     assert din % (2 * GROUP) == 0, f"in={din} not divisible by {2 * GROUP}"
     kf = k2d.astype(jnp.float32).reshape(din // GROUP, GROUP, dout)
@@ -74,11 +100,18 @@ def quantize_kernel_int4(k2d: jax.Array):
     packed = jnp.bitwise_or(
         jnp.bitwise_and(lo, jnp.int8(0x0F)), jnp.left_shift(hi, 4)
     )
-    return packed, scale[:, 0, :].astype(jnp.bfloat16)
+    pad = _half_padded(half) - half
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    scale2d = scale[:, 0, :].astype(jnp.bfloat16)
+    if (din // _BLK) % 2:  # n_lo odd -> one zero guard row (see docstring)
+        scale2d = jnp.pad(scale2d, ((0, 1), (0, 0)))
+    return packed, scale2d
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """(in/2, out) packed int8 -> (in, out) int8 codes in [-8, 7]."""
+    """(half_p, out) packed int8 -> (2 * half_p, out) int8 codes in [-8, 7]
+    (low-nibble rows then high-nibble rows; padded rows decode to 0)."""
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend low
     hi = jnp.right_shift(packed, 4)  # arithmetic shift sign-extends high
     return jnp.concatenate([lo, hi], axis=0)
@@ -87,9 +120,15 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 def dequantize_kernel_int4(
     packed: jax.Array, scale: jax.Array, dtype=jnp.bfloat16
 ) -> jax.Array:
-    """Dense (in, out) kernel — export / oracle / XLA-fallback path."""
-    q = unpack_int4(packed).astype(jnp.float32)
-    s = jnp.repeat(scale.astype(jnp.float32), GROUP, axis=0)  # (in, out)
+    """Dense (in, out) kernel — export / oracle / XLA-fallback path. The
+    true `in` comes from the scale row count (padding rows are dropped)."""
+    din = _din_from_scale_rows(scale.shape[0])
+    half, half_p = din // 2, packed.shape[0]
+    codes = unpack_int4(packed)
+    q = jnp.concatenate(
+        [codes[:half], codes[half_p:half_p + half]], axis=0
+    ).astype(jnp.float32)
+    s = jnp.repeat(scale.astype(jnp.float32), GROUP, axis=0)[:din]
     return (q * s).astype(dtype)
 
 
@@ -97,9 +136,10 @@ def quantize_kernel_int4_np(k):
     """Host (numpy) twin of quantize_kernel_int4 — used by the streaming
     porter's quantize-during-port mode (utils/hf_port.port_quantize bits=4):
     per-layer kernels pack ON HOST so a 7B int4 load's device transient is
-    the ~3.3 GiB packed stack, never the bf16 model. Same math (f32 group
-    amax, symmetric /7, round-half-even, split-half nibble packing).
-    k: (in, out) -> ((in/2, out) int8, (in/64, out) bf16)."""
+    the packed stack, never the bf16 model. Same math (f32 group amax,
+    symmetric /7, round-half-even, split-half nibble packing) and the SAME
+    padded layout as the jax path (bit-compared in tests).
+    k: (in, out) -> ((half_p, out) int8, (S, out) bf16)."""
     import ml_dtypes
     import numpy as np
 
@@ -111,7 +151,13 @@ def quantize_kernel_int4_np(k):
     q = np.clip(np.round(kf / scale), -8, 7).astype(np.int8).reshape(din, dout)
     half = din // 2
     packed = ((q[:half] & np.int8(0x0F)) | (q[half:] << 4)).astype(np.int8)
-    return packed, scale[:, 0, :].astype(ml_dtypes.bfloat16)
+    pad = _half_padded(half) - half
+    if pad:
+        packed = np.pad(packed, ((0, pad), (0, 0)))
+    scale2d = scale[:, 0, :].astype(ml_dtypes.bfloat16)
+    if (din // _BLK) % 2:
+        scale2d = np.pad(scale2d, ((0, 1), (0, 0)))
+    return packed, scale2d
 
 
 def quantize_linear_int4(p: dict) -> dict:
@@ -129,44 +175,68 @@ def quantize_linear_int4(p: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Pallas dequant-matmul
+# Pallas dequant-matmul (forward)
+
+
+def _expand_pair(s2, o_blk):
+    """(2, O) adjacent group scales -> (128, O): rows 0-63 get scale row 0,
+    rows 64-127 row 1. broadcast + leading-dim-merge reshape — the one
+    scale-expansion construct verified to compile CORRECTLY under Mosaic
+    (an iota/where select silently miscompiles on real TPU as of this
+    toolchain, and sub-128 slicing is not Mosaic-provable)."""
+    return jnp.broadcast_to(s2[:, None, :], (2, GROUP, o_blk)).reshape(
+        _BLK, o_blk
+    )
+
+
+def _unpack_block(pb):
+    """(128, O) packed int8 -> bf16 (low codes, high codes). int8 vector
+    shifts are not a proven Mosaic op; int8->int32 extension and int32
+    shifts are: low nibble sign-extends by <<28 >>28, high by <<24 >>28."""
+    p32 = pb.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.bfloat16)
+    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.bfloat16)
+    return lo, hi
 
 
 def _int4_matmul_kernel(
-    x_ref,  # (T_blk, in) bf16
-    p_ref,  # (in/2, O_blk) int8 packed
-    s_ref,  # (in/64, O_blk) bf16 group scales
-    o_ref,  # (T_blk, O_blk) bf16
+    xlo_ref,  # (T_blk, half_p) bf16 — x[:, :in/2] zero-padded to half_p
+    xhi_ref,  # (T_blk, half_p) bf16 — x[:, in/2:] zero-padded to half_p
+    p_ref,  # (half_p, O_blk) int8 packed
+    s_ref,  # (S, O_blk) bf16 group scales
+    o_ref,  # (T_blk, O_blk)
     *,
-    d_in: int,
+    n_lo: int,
 ):
-    half = d_in // 2
-    n_blocks = half // GROUP  # 64-row packed blocks == low-half groups
-    t_blk = x_ref.shape[0]
+    half_p = p_ref.shape[0]
+    t_blk = xlo_ref.shape[0]
     o_blk = o_ref.shape[1]
 
     def body(j, acc):
-        pb = p_ref[pl.ds(j * GROUP, GROUP), :]  # (64, O_blk) int8
-        # unpack via int32 shifts (int8 vector shifts are not a proven
-        # Mosaic op; int8->int32 extension and int32 shifts are): low
-        # nibble sign-extends by <<28 >>28, high by <<24 >>28
-        p32 = pb.astype(jnp.int32)
-        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(
-            jnp.bfloat16
+        pb = p_ref[pl.ds(j * _BLK, _BLK), :]  # (128, O_blk) int8
+        lo, hi = _unpack_block(pb)
+        # groups 2j / 2j+1 (low half) and n_lo + same (high half). For the
+        # final padded block these indices walk into the other half's rows
+        # (or the zero guard row) — finite scales times all-zero padded
+        # weights/x columns contribute exactly 0.
+        slo = _expand_pair(s_ref[pl.ds(2 * j, 2), :], o_blk)
+        shi = _expand_pair(s_ref[pl.ds(n_lo + 2 * j, 2), :], o_blk)
+        # scale the WEIGHT pre-dot: q * s in bf16 is bit-identical to the
+        # dense oracle's dequantized weight (codes and scales are exact
+        # bf16), and lets one 128-deep dot span two 64-row scale groups
+        wlo = lo * slo.astype(jnp.bfloat16)
+        whi = hi * shi.astype(jnp.bfloat16)
+        xlo_b = xlo_ref[:, pl.ds(j * _BLK, _BLK)]  # lane offsets: 128-mult
+        xhi_b = xhi_ref[:, pl.ds(j * _BLK, _BLK)]
+        acc = acc + jax.lax.dot(
+            xlo_b, wlo, preferred_element_type=jnp.float32
         )
-        hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(
-            jnp.bfloat16
+        return acc + jax.lax.dot(
+            xhi_b, whi, preferred_element_type=jnp.float32
         )
-        xlo = x_ref[:, pl.ds(j * GROUP, GROUP)]  # (T_blk, 64)
-        xhi = x_ref[:, pl.ds(half + j * GROUP, GROUP)]
-        plo = jax.lax.dot(xlo, lo, preferred_element_type=jnp.float32)
-        phi = jax.lax.dot(xhi, hi, preferred_element_type=jnp.float32)
-        slo = s_ref[pl.ds(j, 1), :].astype(jnp.float32)  # (1, O_blk)
-        shi = s_ref[pl.ds(n_blocks + j, 1), :].astype(jnp.float32)
-        return acc + plo * slo + phi * shi
 
     acc = jax.lax.fori_loop(
-        0, n_blocks, body, jnp.zeros((t_blk, o_blk), jnp.float32)
+        0, half_p // _BLK, body, jnp.zeros((t_blk, o_blk), jnp.float32)
     )
     o_ref[...] = acc.astype(o_ref.dtype)
 
@@ -174,8 +244,8 @@ def _int4_matmul_kernel(
 @functools.partial(jax.jit, static_argnames=("force_xla",))
 def int4_matmul(
     x2d: jax.Array,  # (T, in)
-    packed: jax.Array,  # (in/2, out) int8
-    scale: jax.Array,  # (in/64, out) bf16
+    packed: jax.Array,  # (half_p, out) int8
+    scale: jax.Array,  # (S, out) bf16
     force_xla: bool = False,
 ) -> jax.Array:
     """y = x @ dequant(packed, scale) without materializing the kernel."""
@@ -185,6 +255,13 @@ def int4_matmul(
         w = dequantize_kernel_int4(packed, scale, x2d.dtype)
         return x2d @ w
 
+    assert _din_from_scale_rows(scale.shape[0]) == d_in, (
+        f"x in-dim {d_in} vs scale rows {scale.shape[0]}"
+    )
+    half = d_in // 2
+    half_p = packed.shape[0]
+    n_lo = d_in // _BLK
+
     o_blk = 256 if d_out % 256 == 0 else 128
     pad_o = (-d_out) % o_blk
     if pad_o:
@@ -192,59 +269,62 @@ def int4_matmul(
         scale = jnp.pad(scale, ((0, 0), (0, pad_o)))
     t_blk = min(256, max(8, -(-t // 8) * 8))
     pad_t = (-t) % t_blk
-    xp = jnp.pad(x2d, ((0, pad_t), (0, 0))) if pad_t else x2d
+    xb = x2d.astype(jnp.bfloat16)
+    # the only per-call copies are the (T, half) activation halves — the
+    # packed weight is never copied on the hot path
+    xlo = jnp.pad(xb[:, :half], ((0, pad_t), (0, half_p - half)))
+    xhi = jnp.pad(xb[:, half:], ((0, pad_t), (0, half_p - half)))
 
     out = pl.pallas_call(
-        functools.partial(_int4_matmul_kernel, d_in=d_in),
+        functools.partial(_int4_matmul_kernel, n_lo=n_lo),
         grid=((t + pad_t) // t_blk, (d_out + pad_o) // o_blk),
         in_specs=[
-            pl.BlockSpec((t_blk, d_in), lambda ti, oi: (ti, 0)),
-            pl.BlockSpec((d_in // 2, o_blk), lambda ti, oi: (0, oi)),
-            pl.BlockSpec((d_in // GROUP, o_blk), lambda ti, oi: (0, oi)),
+            pl.BlockSpec((t_blk, half_p), lambda ti, oi: (ti, 0)),
+            pl.BlockSpec((t_blk, half_p), lambda ti, oi: (ti, 0)),
+            pl.BlockSpec((half_p, o_blk), lambda ti, oi: (0, oi)),
+            pl.BlockSpec((scale.shape[0], o_blk), lambda ti, oi: (0, oi)),
         ],
         out_specs=pl.BlockSpec((t_blk, o_blk), lambda ti, oi: (ti, oi)),
         out_shape=jax.ShapeDtypeStruct((t + pad_t, d_out + pad_o), x2d.dtype),
         interpret=_interpret(),
-    )(xp.astype(jnp.bfloat16), packed, scale)
+    )(xlo, xhi, packed, scale)
     return out[:t, :d_out]
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel: dx = dy @ W^T (QLoRA training with a frozen int4 base —
 # only the activation cotangent is needed; the packed kernel never gets a
-# gradient). The split-half packing means one 64-row packed block unpacks to
-# two NON-contiguous 64-row stripes of `in`, so the kernel writes two
-# outputs (low-half dx, high-half dx) that the wrapper concatenates.
+# gradient). Grid walks 128-row packed blocks (dim 1 of the outputs stays
+# 128-wide and block-aligned); each program loops out-chunks of dy,
+# dequantizes the (128, O_chunk) weight block exactly as the forward does,
+# and contracts over `out`, producing the low-half and high-half dx stripes
+# for its 128 columns.
 
 
 def _int4_matmul_t_kernel(
-    dy_ref,  # (T_blk, out) bf16
-    p_ref,  # (64, out) int8 packed rows for THIS in-block
-    s_ref,  # (1, 2, out) bf16 — [low group scale; high group scale]
-    lo_ref,  # (T_blk, 64) dx low-half block
-    hi_ref,  # (T_blk, 64)
+    dy_ref,  # (T_blk, out_p) bf16
+    p_ref,  # (128, out_p) int8 — packed rows for THIS j block
+    s_ref,  # (S, out_p) bf16
+    lo_ref,  # (T_blk, 128) dx low-half columns j*128..+128
+    hi_ref,  # (T_blk, 128)
     *,
+    n_lo: int,
     o_blk: int,
 ):
+    j = pl.program_id(1)
     d_out = dy_ref.shape[1]
     t_blk = dy_ref.shape[0]
     dims = (((1,), (1,)), ((), ()))  # contract both operands' `out` dim
 
-    def body(j, accs):
+    def body(jo, accs):
         alo, ahi = accs
-        pb = p_ref[:, pl.ds(j * o_blk, o_blk)]  # (64, o_blk)
-        dyb = dy_ref[:, pl.ds(j * o_blk, o_blk)]
-        p32 = pb.astype(jnp.int32)  # int32 shifts: proven Mosaic ops
-        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(
-            jnp.bfloat16
-        )
-        hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(
-            jnp.bfloat16
-        )
-        slo = s_ref[0, pl.ds(0, 1), pl.ds(j * o_blk, o_blk)]  # (1, o_blk)
-        shi = s_ref[0, pl.ds(1, 1), pl.ds(j * o_blk, o_blk)]
-        wlo = lo * slo  # dequantized (64, o_blk) stripes
-        whi = hi * shi
+        sl = pl.ds(jo * o_blk, o_blk)
+        dyb = dy_ref[:, sl]
+        lo, hi = _unpack_block(p_ref[:, sl])
+        slo = _expand_pair(s_ref[pl.ds(2 * j, 2), sl], o_blk)
+        shi = _expand_pair(s_ref[pl.ds(n_lo + 2 * j, 2), sl], o_blk)
+        wlo = lo * slo.astype(jnp.bfloat16)
+        whi = hi * shi.astype(jnp.bfloat16)
         alo = alo + jax.lax.dot_general(
             dyb, wlo, dims, preferred_element_type=jnp.float32
         )
@@ -253,7 +333,7 @@ def _int4_matmul_t_kernel(
         )
         return alo, ahi
 
-    z = jnp.zeros((t_blk, GROUP), jnp.float32)
+    z = jnp.zeros((t_blk, _BLK), jnp.float32)
     alo, ahi = jax.lax.fori_loop(0, d_out // o_blk, body, (z, z))
     lo_ref[...] = alo.astype(lo_ref.dtype)
     hi_ref[...] = ahi.astype(hi_ref.dtype)
@@ -262,21 +342,23 @@ def _int4_matmul_t_kernel(
 @functools.partial(jax.jit, static_argnames=("force_xla",))
 def int4_matmul_t(
     dy2d: jax.Array,  # (T, out)
-    packed: jax.Array,  # (in/2, out)
-    scale: jax.Array,  # (in/64, out)
+    packed: jax.Array,  # (half_p, out)
+    scale: jax.Array,  # (S, out)
     force_xla: bool = False,
 ) -> jax.Array:
     """dx = dy @ dequant(packed, scale)^T without materializing the kernel."""
     t, d_out = dy2d.shape
-    half = packed.shape[0]
-    d_in = 2 * half
+    d_in = _din_from_scale_rows(scale.shape[0])
+    half = d_in // 2
+    half_p = packed.shape[0]
+    n_lo = d_in // _BLK
     if force_xla:
         w = dequantize_kernel_int4(packed, scale, dy2d.dtype)
         return dy2d @ w.T
 
     o_blk = 256 if d_out % 256 == 0 else 128
     pad_o = (-d_out) % o_blk
-    dyp = dy2d
+    dyp = dy2d.astype(jnp.bfloat16)
     if pad_o:
         packed = jnp.pad(packed, ((0, 0), (0, pad_o)))
         scale = jnp.pad(scale, ((0, 0), (0, pad_o)))
@@ -287,33 +369,28 @@ def int4_matmul_t(
     pad_t = (-t) % t_blk
     if pad_t:
         dyp = jnp.pad(dyp, ((0, pad_t), (0, 0)))
-    n_half_groups = half // GROUP
-    # scales rows regrouped per packed block: [low_j, high_j] pairs
-    s2 = jnp.stack(
-        [scale[:n_half_groups], scale[n_half_groups:]], axis=1
-    )  # (half/64, 2, out)
 
     lo, hi = pl.pallas_call(
-        functools.partial(_int4_matmul_t_kernel, o_blk=o_blk),
-        grid=((t + pad_t) // t_blk, half // GROUP),
+        functools.partial(_int4_matmul_t_kernel, n_lo=n_lo, o_blk=o_blk),
+        grid=((t + pad_t) // t_blk, half_p // _BLK),
         in_specs=[
             pl.BlockSpec((t_blk, d_out + pad_o), lambda ti, ji: (ti, 0)),
-            pl.BlockSpec((GROUP, d_out + pad_o), lambda ti, ji: (ji, 0)),
+            pl.BlockSpec((_BLK, d_out + pad_o), lambda ti, ji: (ji, 0)),
             pl.BlockSpec(
-                (1, 2, d_out + pad_o), lambda ti, ji: (ji, 0, 0)
+                (scale.shape[0], d_out + pad_o), lambda ti, ji: (0, 0)
             ),
         ],
         out_specs=[
-            pl.BlockSpec((t_blk, GROUP), lambda ti, ji: (ti, ji)),
-            pl.BlockSpec((t_blk, GROUP), lambda ti, ji: (ti, ji)),
+            pl.BlockSpec((t_blk, _BLK), lambda ti, ji: (ti, ji)),
+            pl.BlockSpec((t_blk, _BLK), lambda ti, ji: (ti, ji)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t + pad_t, half), dy2d.dtype),
-            jax.ShapeDtypeStruct((t + pad_t, half), dy2d.dtype),
+            jax.ShapeDtypeStruct((t + pad_t, half_p), dy2d.dtype),
+            jax.ShapeDtypeStruct((t + pad_t, half_p), dy2d.dtype),
         ],
         interpret=_interpret(),
-    )(dyp.astype(jnp.bfloat16), packed, s2)
-    return jnp.concatenate([lo[:t], hi[:t]], axis=1)
+    )(dyp, packed, scale)
+    return jnp.concatenate([lo[:t, :half], hi[:t, :half]], axis=1)
 
 
 @jax.custom_vjp
