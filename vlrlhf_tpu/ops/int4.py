@@ -189,6 +189,23 @@ def _expand_pair(s2, o_blk):
     )
 
 
+def _scale_blocks(scale: jax.Array, n_lo: int, n_blocks: int):
+    """(S, out) canonical scales -> two (n_blocks, 2, out) arrays: block j
+    holds the two adjacent group scales the kernel's j-th 128-row step
+    needs (lo half / hi half). 3D with the block index LEADING because
+    Mosaic only proves alignment for dynamic offsets on the untiled leading
+    dim of a >=3D ref — a dynamic `pl.ds(2*j, 2)` row load from the 2D
+    layout is rejected ("index in dimension 0 is a multiple of 8").
+    Padded trailing rows (odd n_lo) are zero: zero scale x anything = 0."""
+    pad = 2 * n_blocks - n_lo
+    s_lo, s_hi = scale[:n_lo], scale[n_lo:2 * n_lo]
+    if pad:
+        s_lo = jnp.pad(s_lo, ((0, pad), (0, 0)))
+        s_hi = jnp.pad(s_hi, ((0, pad), (0, 0)))
+    dout = scale.shape[1]
+    return (s_lo.reshape(n_blocks, 2, dout), s_hi.reshape(n_blocks, 2, dout))
+
+
 def _unpack_block(pb):
     """(128, O) packed int8 -> bf16 (low codes, high codes). int8 vector
     shifts are not a proven Mosaic op; int8->int32 extension and int32
@@ -203,10 +220,9 @@ def _int4_matmul_kernel(
     xlo_ref,  # (T_blk, half_p) bf16 — x[:, :in/2] zero-padded to half_p
     xhi_ref,  # (T_blk, half_p) bf16 — x[:, in/2:] zero-padded to half_p
     p_ref,  # (half_p, O_blk) int8 packed
-    s_ref,  # (S, O_blk) bf16 group scales
+    slo_ref,  # (n_blocks, 2, O_blk) bf16 lo-half group-scale pairs
+    shi_ref,  # (n_blocks, 2, O_blk) bf16 hi-half group-scale pairs
     o_ref,  # (T_blk, O_blk)
-    *,
-    n_lo: int,
 ):
     half_p = p_ref.shape[0]
     t_blk = xlo_ref.shape[0]
@@ -215,12 +231,12 @@ def _int4_matmul_kernel(
     def body(j, acc):
         pb = p_ref[pl.ds(j * _BLK, _BLK), :]  # (128, O_blk) int8
         lo, hi = _unpack_block(pb)
-        # groups 2j / 2j+1 (low half) and n_lo + same (high half). For the
-        # final padded block these indices walk into the other half's rows
-        # (or the zero guard row) — finite scales times all-zero padded
-        # weights/x columns contribute exactly 0.
-        slo = _expand_pair(s_ref[pl.ds(2 * j, 2), :], o_blk)
-        shi = _expand_pair(s_ref[pl.ds(n_lo + 2 * j, 2), :], o_blk)
+        # dynamic index on the LEADING dim of the 3D scale refs — the only
+        # dynamic-offset pattern Mosaic accepts here (see _scale_blocks).
+        # For the final padded block the pair's second row is zero: zero
+        # scale times all-zero padded weight/x columns contributes 0.
+        slo = _expand_pair(slo_ref[j], o_blk)
+        shi = _expand_pair(shi_ref[j], o_blk)
         # scale the WEIGHT pre-dot: q * s in bf16 is bit-identical to the
         # dense oracle's dequantized weight (codes and scales are exact
         # bf16), and lets one 128-deep dot span two 64-row scale groups
@@ -267,6 +283,8 @@ def int4_matmul(
     if pad_o:
         packed = jnp.pad(packed, ((0, 0), (0, pad_o)))
         scale = jnp.pad(scale, ((0, 0), (0, pad_o)))
+    n_blocks = half_p // _BLK
+    s_lo, s_hi = _scale_blocks(scale, n_lo, n_blocks)
     t_blk = min(256, max(8, -(-t // 8) * 8))
     pad_t = (-t) % t_blk
     xb = x2d.astype(jnp.bfloat16)
@@ -276,18 +294,19 @@ def int4_matmul(
     xhi = jnp.pad(xb[:, half:], ((0, pad_t), (0, half_p - half)))
 
     out = pl.pallas_call(
-        functools.partial(_int4_matmul_kernel, n_lo=n_lo),
+        _int4_matmul_kernel,
         grid=((t + pad_t) // t_blk, (d_out + pad_o) // o_blk),
         in_specs=[
             pl.BlockSpec((t_blk, half_p), lambda ti, oi: (ti, 0)),
             pl.BlockSpec((t_blk, half_p), lambda ti, oi: (ti, 0)),
             pl.BlockSpec((half_p, o_blk), lambda ti, oi: (0, oi)),
-            pl.BlockSpec((scale.shape[0], o_blk), lambda ti, oi: (0, oi)),
+            pl.BlockSpec((n_blocks, 2, o_blk), lambda ti, oi: (0, 0, oi)),
+            pl.BlockSpec((n_blocks, 2, o_blk), lambda ti, oi: (0, 0, oi)),
         ],
         out_specs=pl.BlockSpec((t_blk, o_blk), lambda ti, oi: (ti, oi)),
         out_shape=jax.ShapeDtypeStruct((t + pad_t, d_out + pad_o), x2d.dtype),
         interpret=_interpret(),
-    )(xlo, xhi, packed, scale)
+    )(xlo, xhi, packed, s_lo, s_hi)
     return out[:t, :d_out]
 
 
@@ -304,14 +323,13 @@ def int4_matmul(
 def _int4_matmul_t_kernel(
     dy_ref,  # (T_blk, out_p) bf16
     p_ref,  # (128, out_p) int8 — packed rows for THIS j block
-    s_ref,  # (S, out_p) bf16
+    slo_ref,  # (1, 2, out_p) bf16 — THIS block's lo-half scale pair
+    shi_ref,  # (1, 2, out_p) bf16 — THIS block's hi-half scale pair
     lo_ref,  # (T_blk, 128) dx low-half columns j*128..+128
     hi_ref,  # (T_blk, 128)
     *,
-    n_lo: int,
     o_blk: int,
 ):
-    j = pl.program_id(1)
     d_out = dy_ref.shape[1]
     t_blk = dy_ref.shape[0]
     dims = (((1,), (1,)), ((), ()))  # contract both operands' `out` dim
@@ -321,8 +339,8 @@ def _int4_matmul_t_kernel(
         sl = pl.ds(jo * o_blk, o_blk)
         dyb = dy_ref[:, sl]
         lo, hi = _unpack_block(p_ref[:, sl])
-        slo = _expand_pair(s_ref[pl.ds(2 * j, 2), sl], o_blk)
-        shi = _expand_pair(s_ref[pl.ds(n_lo + 2 * j, 2), sl], o_blk)
+        slo = _expand_pair(slo_ref[0, :, sl], o_blk)
+        shi = _expand_pair(shi_ref[0, :, sl], o_blk)
         wlo = lo * slo.astype(jnp.bfloat16)
         whi = hi * shi.astype(jnp.bfloat16)
         alo = alo + jax.lax.dot_general(
@@ -363,6 +381,8 @@ def int4_matmul_t(
         packed = jnp.pad(packed, ((0, 0), (0, pad_o)))
         scale = jnp.pad(scale, ((0, 0), (0, pad_o)))
         dyp = jnp.pad(dyp, ((0, 0), (0, pad_o)))
+    n_blocks = half_p // _BLK
+    s_lo, s_hi = _scale_blocks(scale, n_lo, n_blocks)
     # keep the (t_blk, out) dy block under ~6 MB of VMEM (wide-vocab heads)
     fit = max(8, (6 * 2**20) // (2 * (d_out + pad_o)) // 8 * 8)
     t_blk = min(256, max(8, -(-t // 8) * 8), fit)
@@ -371,14 +391,13 @@ def int4_matmul_t(
         dyp = jnp.pad(dyp, ((0, pad_t), (0, 0)))
 
     lo, hi = pl.pallas_call(
-        functools.partial(_int4_matmul_t_kernel, n_lo=n_lo, o_blk=o_blk),
+        functools.partial(_int4_matmul_t_kernel, o_blk=o_blk),
         grid=((t + pad_t) // t_blk, half_p // _BLK),
         in_specs=[
             pl.BlockSpec((t_blk, d_out + pad_o), lambda ti, ji: (ti, 0)),
             pl.BlockSpec((_BLK, d_out + pad_o), lambda ti, ji: (ji, 0)),
-            pl.BlockSpec(
-                (scale.shape[0], d_out + pad_o), lambda ti, ji: (0, 0)
-            ),
+            pl.BlockSpec((1, 2, d_out + pad_o), lambda ti, ji: (ji, 0, 0)),
+            pl.BlockSpec((1, 2, d_out + pad_o), lambda ti, ji: (ji, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((t_blk, _BLK), lambda ti, ji: (ti, ji)),
@@ -389,7 +408,7 @@ def int4_matmul_t(
             jax.ShapeDtypeStruct((t + pad_t, half_p), dy2d.dtype),
         ],
         interpret=_interpret(),
-    )(dyp, packed, scale)
+    )(dyp, packed, s_lo, s_hi)
     return jnp.concatenate([lo[:t, :half], hi[:t, :half]], axis=1)
 
 
