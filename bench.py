@@ -444,13 +444,164 @@ def _measure_ppo_7b():
     }
 
 
+def _seg_dpo7():
+    """HEADLINE: the 7B north star, bf16 base (the reference's own recipe
+    dtype; largest fitting batch = 1 pair). 'attn' remat fits ONLY with
+    the chunked lm_head (the (B,S,V) logits + f32 softmax VJP it removes
+    are exactly the margin) and beats full remat 1.567 vs 1.539 pairs/s."""
+    import dataclasses
+
+    from vlrlhf_tpu.models.registry import FAMILIES
+
+    cfg7 = FAMILIES["llava"].make_config()
+    cfg7 = dataclasses.replace(
+        cfg7, lm=dataclasses.replace(cfg7.lm, remat_policy="attn")
+    )
+    pps7, ms7, mfu7, pb7 = _measure_dpo(
+        cfg7, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=True, dpo_kwargs={"logits_chunk": 256},
+    )
+    return {"pairs_per_sec": round(pps7, 3), "step_ms": round(ms7, 1),
+            "mfu": round(mfu7, 4)}
+
+
+def _seg_qlora7():
+    """PERFORMANCE MODE: QLoRA (int8 frozen base, ops/quant.py — the
+    reference supports q_lora too, auto_load.py:509-578). Halved param
+    HBM affords the 'acts' remat policy (save all per-layer activations)."""
+    import dataclasses
+
+    from vlrlhf_tpu.models.registry import FAMILIES
+
+    cfg7q = FAMILIES["llava"].make_config()
+    cfg7q = dataclasses.replace(
+        cfg7q, lm=dataclasses.replace(cfg7q.lm, remat_policy="acts")
+    )
+    pps, ms, mfu, _ = _measure_dpo(
+        cfg7q, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=True, quantize=True,
+    )
+    return {"pairs_per_sec": round(pps, 3), "pairs_per_step": 1,
+            "step_ms": round(ms, 1), "mfu": round(mfu, 4),
+            "ref_logps": "precomputed", "remat_policy": "acts"}
+
+
+def _seg_qwen():
+    """QWEN-VL 7B (9.66B params: 151k vocab + ViT-bigG + resampler) — only
+    fits on one v5e with the WIDE int8 set (frozen vision tower +
+    projector quantized too, ops/quant.py TRAIN_QUANT_PATTERNS_WIDE)."""
+    import dataclasses
+
+    from vlrlhf_tpu.models.registry import FAMILIES
+    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS_WIDE
+
+    cfgqw = FAMILIES["qwen_vl"].make_config()
+    cfgqw = dataclasses.replace(
+        cfgqw, lm=dataclasses.replace(cfgqw.lm, remat_policy="mlp1")
+    )
+    qw = _measure_dpo(
+        cfgqw, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=True, quantize=True,
+        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE,
+    )
+    return {"pairs_per_sec": round(qw[0], 3), "pairs_per_step": 1,
+            "step_ms": round(qw[1], 1), "mfu": round(qw[2], 4),
+            "params_b": round(qw[3], 2), "ref_logps": "precomputed",
+            "remat_policy": "mlp1", "quant": "int8 lm+vision+projector"}
+
+
+def _seg_xc2():
+    """XC2 7B (8.06B: InternLM2 GQA + PLoRA + 490px tower, 1225 image
+    tokens => seq 2048 to hold a real row) — wide int8, 'attn' remat."""
+    import dataclasses
+
+    from vlrlhf_tpu.models.registry import FAMILIES
+    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS_WIDE
+
+    cfgxc = FAMILIES["internlm_xc2"].make_config()
+    cfgxc = dataclasses.replace(
+        cfgxc, lm=dataclasses.replace(cfgxc.lm, remat_policy="attn")
+    )
+    xc = _measure_dpo(
+        cfgxc, n_pairs=1, seq=2048, n_steps=10, n_warmup=3,
+        precompute_ref=True, quantize=True,
+        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE, with_plora=True,
+    )
+    return {"pairs_per_sec": round(xc[0], 3), "pairs_per_step": 1,
+            "seq": 2048, "step_ms": round(xc[1], 1),
+            "mfu": round(xc[2], 4), "params_b": round(xc[3], 2),
+            "ref_logps": "precomputed", "remat_policy": "attn",
+            "quant": "int8 lm+vision+projector"}
+
+
+def _seg_c15():
+    """Continuity: round-1 1.5B shape, online ref ('acts' fits in bf16)."""
+    import dataclasses
+
+    import __graft_entry__ as graft
+
+    cfg15 = graft._flagship_config(tiny=False)
+    cfg15 = dataclasses.replace(
+        cfg15, lm=dataclasses.replace(cfg15.lm, remat_policy="acts")
+    )
+    c15 = _measure_dpo(
+        cfg15, n_pairs=4, seq=1024, n_steps=10, n_warmup=3,
+        precompute_ref=False,
+    )
+    return {"pairs_per_sec": round(c15[0], 3), "pairs_per_step": 4,
+            "step_ms": round(c15[1], 1), "mfu": round(c15[2], 4),
+            "ref_logps": "online", "remat_policy": "acts"}
+
+
+SEGMENTS = {
+    "dpo7": _seg_dpo7,
+    "qlora7": _seg_qlora7,
+    "qwen": _seg_qwen,
+    "xc2": _seg_xc2,
+    "c15": _seg_c15,
+    "eval": _measure_eval_generation,
+    "serving": _measure_serving_cb,
+    "ppo": _measure_ppo_7b,
+}
+
+
+def _run_seg(name: str, timeout: float = 1800.0) -> dict:
+    """Run one bench segment in a FRESH subprocess and parse its JSON line.
+
+    Isolation is load-bearing twice over: (a) HBM/host state left by an
+    earlier segment measurably skews later ones (the serving CB segment
+    measured 0.938x inside a shared bench process vs 1.27x standalone —
+    same commit, same chip), and (b) a compile-helper OOM in one segment
+    (seen at 7B PPO and family sweeps) must not kill the whole artifact —
+    the driver writes BENCH_rNN.json from ONE `python bench.py` run."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        p = subprocess.run(
+            [_sys.executable, os.path.join(here, "bench.py"), "--seg", name],
+            capture_output=True, text=True, timeout=timeout, cwd=here,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"segment {name} timed out after {timeout:.0f}s"}
+    for line in reversed((p.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    tail = (p.stderr or "")[-300:].replace("\n", " | ")
+    return {"error": f"segment {name}: rc={p.returncode} stderr: {tail}"}
+
+
 def main():
     _compile_cache()
     on_tpu = jax.default_backend() == "tpu"
-    import __graft_entry__ as graft
-    from vlrlhf_tpu.models.registry import FAMILIES
 
     if not on_tpu:
+        import __graft_entry__ as graft
+
         cfg = graft._flagship_config(tiny=True)
         pps, ms, mfu, pb = _measure_dpo(cfg, 2, 64, 3, 1, False)
         print(json.dumps({
@@ -460,83 +611,22 @@ def main():
         }))
         return
 
-    import dataclasses
-
-    def _seg(fn, *a, **kw):
-        """One bench segment; a failure yields an error block instead of
-        killing the whole artifact (the driver writes BENCH_rNN.json from
-        ONE run — a transient OOM in a secondary segment must not erase
-        every other number)."""
-        try:
-            return fn(*a, **kw)
-        except Exception as e:  # noqa: BLE001 — captured into the artifact
-            return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-
-    # HEADLINE: the 7B north star, bf16 base (the reference's own recipe
-    # dtype; largest fitting batch = 1 pair). 'attn' remat fits ONLY with
-    # the chunked lm_head (the (B,S,V) logits + f32 softmax VJP it removes
-    # are exactly the margin) and beats full remat 1.567 vs 1.539 pairs/s.
-    cfg7 = FAMILIES["llava"].make_config()
-    cfg7 = dataclasses.replace(
-        cfg7, lm=dataclasses.replace(cfg7.lm, remat_policy="attn")
-    )
-    pps7, ms7, mfu7, pb7 = _measure_dpo(
-        cfg7, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
-        precompute_ref=True, dpo_kwargs={"logits_chunk": 256},
-    )
-    # PERFORMANCE MODE: QLoRA (int8 frozen base, ops/quant.py — the
-    # reference supports q_lora too, auto_load.py:509-578). Halved param
-    # HBM affords the 'acts' remat policy (save all per-layer activations).
-    cfg7q = dataclasses.replace(
-        cfg7, lm=dataclasses.replace(cfg7.lm, remat_policy="acts")
-    )
-    pps7q, ms7q, mfu7q, _ = _measure_dpo(
-        cfg7q, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
-        precompute_ref=True, quantize=True,
-    )
-    # QWEN-VL 7B (9.66B params: 151k vocab + ViT-bigG + resampler) — only
-    # fits on one v5e with the WIDE int8 set (frozen vision tower +
-    # projector quantized too, ops/quant.py TRAIN_QUANT_PATTERNS_WIDE)
-    from vlrlhf_tpu.ops.quant import TRAIN_QUANT_PATTERNS_WIDE
-
-    cfgqw = FAMILIES["qwen_vl"].make_config()
-    cfgqw = dataclasses.replace(
-        cfgqw, lm=dataclasses.replace(cfgqw.lm, remat_policy="mlp1")
-    )
-    qw = _seg(
-        _measure_dpo, cfgqw, n_pairs=1, seq=1024, n_steps=10, n_warmup=3,
-        precompute_ref=True, quantize=True,
-        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE,
-    )
-    # XC2 7B (8.06B: InternLM2 GQA + PLoRA + 490px tower, 1225 image tokens
-    # => seq 2048 to hold a real row) — wide int8, 'attn' remat
-    cfgxc = FAMILIES["internlm_xc2"].make_config()
-    cfgxc = dataclasses.replace(
-        cfgxc, lm=dataclasses.replace(cfgxc.lm, remat_policy="attn")
-    )
-    xc = _seg(
-        _measure_dpo, cfgxc, n_pairs=1, seq=2048, n_steps=10, n_warmup=3,
-        precompute_ref=True, quantize=True,
-        quant_patterns=TRAIN_QUANT_PATTERNS_WIDE, with_plora=True,
-    )
-    # continuity: round-1 1.5B shape, online ref ('acts' fits in bf16 here)
-    cfg15 = graft._flagship_config(tiny=False)
-    cfg15 = dataclasses.replace(
-        cfg15, lm=dataclasses.replace(cfg15.lm, remat_policy="acts")
-    )
-    c15 = _seg(
-        _measure_dpo, cfg15, n_pairs=4, seq=1024, n_steps=10, n_warmup=3,
-        precompute_ref=False,
-    )
+    # every segment in its own subprocess (see _run_seg) — the persistent
+    # TPU compile cache makes repeat compiles cheap across processes
+    head = _run_seg("dpo7")
+    qlora = _run_seg("qlora7")
+    qw = _run_seg("qwen")
+    xc = _run_seg("xc2")
+    c15 = _run_seg("c15")
     # both north-star metrics + the PPO segment in the DEFAULT output
     # (VERDICT r2 weak item 1 / next-round item 3)
-    eval_block = _seg(_measure_eval_generation)
-    serving_block = _seg(_measure_serving_cb)
-    ppo_block = _seg(_measure_ppo_7b)
+    eval_block = _run_seg("eval")
+    serving_block = _run_seg("serving")
+    ppo_block = _run_seg("ppo")
 
     print(json.dumps({
         "metric": "dpo_pairs_per_sec_per_chip",
-        "value": round(pps7, 3),
+        "value": head.get("pairs_per_sec", 0.0),
         "unit": "pairs/s",
         # the reference publishes no throughput numbers
         # (BASELINE.json.published == {}), so there is no real baseline ratio
@@ -544,42 +634,23 @@ def main():
         "model": "llava-1.5-7b geometry (7.06B params, bf16)",
         "pairs_per_step": 1,
         "seq": 1024,
-        "step_ms": round(ms7, 1),
-        "mfu": round(mfu7, 4),
-        "mfu_vs_40pct_target": round(mfu7 / 0.40, 3),
+        "step_ms": head.get("step_ms"),
+        "mfu": head.get("mfu"),
+        "mfu_vs_40pct_target": round(head.get("mfu", 0.0) / 0.40, 3),
         "ref_logps": "precomputed",
         "remat_policy": "attn",
         "logits_chunk": 256,
         "flops_accounting": "LoRA 4N fwd+bwd (frozen base: no dW matmuls)",
-        "qlora_int8_7b": {
-            # same 7B geometry, int8 frozen base + bf16 LoRA/head, remat
-            # 'acts' — the fastest supported 7B training mode on one v5e
-            "pairs_per_sec": round(pps7q, 3), "pairs_per_step": 1,
-            "step_ms": round(ms7q, 1), "mfu": round(mfu7q, 4),
-            "ref_logps": "precomputed", "remat_policy": "acts",
-        },
-        "qlora_int8_qwenvl_7b": qw if isinstance(qw, dict) else {
-            # Qwen-VL-Chat geometry (9.66B total params) — UNRUNNABLE on one
-            # v5e without the wide int8 set; mlp1 remat is the fastest fit
-            "pairs_per_sec": round(qw[0], 3), "pairs_per_step": 1,
-            "step_ms": round(qw[1], 1), "mfu": round(qw[2], 4),
-            "params_b": round(qw[3], 2), "ref_logps": "precomputed",
-            "remat_policy": "mlp1", "quant": "int8 lm+vision+projector",
-        },
-        "qlora_int8_xc2_7b": xc if isinstance(xc, dict) else {
-            # InternLM-XComposer2-VL geometry at seq 2048 (PLoRA active at
-            # the 1225 image positions)
-            "pairs_per_sec": round(xc[0], 3), "pairs_per_step": 1,
-            "seq": 2048, "step_ms": round(xc[1], 1),
-            "mfu": round(xc[2], 4), "params_b": round(xc[3], 2),
-            "ref_logps": "precomputed", "remat_policy": "attn",
-            "quant": "int8 lm+vision+projector",
-        },
-        "continuity_1p5b": c15 if isinstance(c15, dict) else {
-            "pairs_per_sec": round(c15[0], 3), "pairs_per_step": 4,
-            "step_ms": round(c15[1], 1), "mfu": round(c15[2], 4),
-            "ref_logps": "online", "remat_policy": "acts",
-        },
+        # same 7B geometry, int8 frozen base + bf16 LoRA/head, remat 'acts'
+        # — the fastest supported 7B training mode on one v5e
+        "qlora_int8_7b": qlora,
+        # Qwen-VL-Chat geometry (9.66B total params) — UNRUNNABLE on one
+        # v5e without the wide int8 set; mlp1 remat is the fastest fit
+        "qlora_int8_qwenvl_7b": qw,
+        # InternLM-XComposer2-VL geometry at seq 2048 (PLoRA active at the
+        # 1225 image positions)
+        "qlora_int8_xc2_7b": xc,
+        "continuity_1p5b": c15,
         "eval": eval_block,
         "serving_cb": serving_block,
         "ppo": ppo_block,
@@ -600,11 +671,11 @@ def main_eval():
             "note": "TPU-only bench",
         }))
         return
-    block = _measure_eval_generation()
-    serving = _measure_serving_cb()
+    block = _run_seg("eval")
+    serving = _run_seg("serving")
     print(json.dumps({
         "metric": "eval_imgs_per_sec",
-        "value": block["imgs_per_sec"],
+        "value": block.get("imgs_per_sec", 0.0),
         "unit": "imgs/s",
         "vs_baseline": 0.0,
         **{k: v for k, v in block.items() if k != "imgs_per_sec"},
@@ -616,7 +687,12 @@ def main_eval():
 if __name__ == "__main__":
     import sys
 
-    if "--eval" in sys.argv:
+    if "--seg" in sys.argv:
+        # single-segment subprocess mode (see _run_seg)
+        _compile_cache()
+        name = sys.argv[sys.argv.index("--seg") + 1]
+        print(json.dumps(SEGMENTS[name]()))
+    elif "--eval" in sys.argv:
         main_eval()
     else:
         main()
