@@ -344,3 +344,29 @@ def test_fused_int4_parity():
             np.asarray(g, np.float32), np.asarray(w, np.float32),
             atol=1e-4, rtol=0, err_msg=f"step {i}",
         )
+
+
+def test_scale_blocks_layout():
+    """_scale_blocks re-layouts the canonical (S, out) scales into the two
+    (n_blocks, 2, out) arrays the kernels index on the LEADING dim (the
+    only dynamic-offset pattern Mosaic proves aligned on real TPU — the
+    r3 hardware sweep rejected 2D dynamic row loads with 'index in
+    dimension 0 is a multiple of 8')."""
+    from vlrlhf_tpu.ops.int4 import _BLK, _scale_blocks
+
+    for din in (256, 2048, 5504):  # 5504 -> odd n_lo (43): guard-row case
+        dout = 64
+        k = jax.random.normal(jax.random.PRNGKey(1), (din, dout))
+        packed, scale = quantize_kernel_int4(k)
+        n_lo = din // _BLK
+        n_blocks = packed.shape[0] // _BLK
+        s_lo, s_hi = _scale_blocks(scale, n_lo, n_blocks)
+        assert s_lo.shape == (n_blocks, 2, dout) == s_hi.shape
+        flat_lo = np.asarray(s_lo, np.float32).reshape(-1, dout)
+        flat_hi = np.asarray(s_hi, np.float32).reshape(-1, dout)
+        sc = np.asarray(scale, np.float32)
+        assert (flat_lo[:n_lo] == sc[:n_lo]).all()
+        assert (flat_hi[:n_lo] == sc[n_lo : 2 * n_lo]).all()
+        # padded pair rows (odd n_lo) must be zero: they multiply the
+        # kernel's zero-padded weight rows
+        assert (flat_lo[n_lo:] == 0).all() and (flat_hi[n_lo:] == 0).all()
