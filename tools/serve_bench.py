@@ -69,6 +69,10 @@ def main():
         cfg, gen_cfg, n_slots=n_slots, cache_len=512,
         adapter_sets=adapter_sets,
     )
+    # the engine keeps only the STACKED tree; at 7B r=64 the N original
+    # sets are ~320 MB each — dropping them here is the difference between
+    # fitting and ResourceExhausted at --adapters 4 on a 16 GiB chip
+    del adapter_sets
     srv = EngineServer(engine, params).start()
 
     # text-only requests, mixed budgets uniform(16, 256) — the BENCH CB

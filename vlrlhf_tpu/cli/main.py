@@ -1262,6 +1262,9 @@ def cmd_serve(args):
         adapter_sets=adapter_sets,
         lora_scale=args.lora_alpha / args.lora_r,
     )
+    # the engine keeps only the STACKED adapter tree; drop the N loaded
+    # sets (each ~320 MB at 7B r=64) before model weights claim the chip
+    del adapter_sets
     ccfg = CollatorConfig(
         pad_token_id=processor.tokenizer.pad_token_id or 0,
         bucket_multiple=32 if args.synthetic else 128,
