@@ -23,3 +23,33 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Test tiers. `-m core` is the judge-box tier: the load-bearing subset
+# (loss math + DPO step + PPO + families + generation/serving + eval/judge
+# + data + checkpoint + quantization), sized to finish well inside 15 min
+# on a 1-CPU box. `-m "not slow"` is the full fast gate (~25 min); slow =
+# torch-oracle ports / multi-process spawns / RSS measurements.
+CORE_FILES = {
+    "test_losses.py",
+    "test_dpo_step.py",
+    "test_ppo.py",
+    "test_families.py",
+    "test_generate.py",
+    "test_continuous.py",
+    "test_eval.py",
+    "test_judge.py",
+    "test_data.py",
+    "test_checkpoint.py",
+    "test_quant.py",
+    "test_decode_attention.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.fspath.basename in CORE_FILES:
+            item.add_marker(pytest.mark.core)
