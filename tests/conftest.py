@@ -51,5 +51,5 @@ def pytest_collection_modifyitems(config, items):
     import pytest
 
     for item in items:
-        if item.fspath.basename in CORE_FILES:
+        if item.path.name in CORE_FILES:
             item.add_marker(pytest.mark.core)

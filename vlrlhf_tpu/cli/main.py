@@ -1261,6 +1261,7 @@ def cmd_serve(args):
         cfg, gen_cfg, n_slots=args.slots, cache_len=cache_len,
         adapter_sets=adapter_sets,
         lora_scale=args.lora_alpha / args.lora_r,
+        speculative_k=args.speculative_k,
     )
     # the engine keeps only the STACKED adapter tree; drop the N loaded
     # sets (each ~320 MB at 7B r=64) before model weights claim the chip
@@ -1479,6 +1480,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bf16", "int8"])
     p.add_argument("--fuse_decode",
                    type=lambda x: x.lower() == "true", default=False)
+    p.add_argument("--speculative_k", type=int, default=0,
+                   help=">0: decode bursts verify K-token device-side "
+                        "prompt-lookup drafts per slot — up to K+1 tokens "
+                        "per weight-stream pass (greedy identical, sampled "
+                        "lossless; generate/continuous._cb_spec_burst_impl)")
     p.add_argument("--do_sample", type=lambda x: x.lower() == "true",
                    default=False)
     p.add_argument("--temperature", type=float, default=1.0)

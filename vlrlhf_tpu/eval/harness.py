@@ -43,10 +43,12 @@ class EvalRunner:
     # slot-refill continuous batching for run_vqa (generate/continuous.py);
     # batch_size then sets the number of SLOTS
     continuous_batching: bool = False
-    # >0: speculative decoding with this draft length
-    # (generate/speculative.py prompt-lookup; greedy = identical tokens,
+    # >0: speculative decoding with this draft length. Static path:
+    # generate/speculative.py host-driven prompt-lookup verify. Continuous
+    # batching: device-resident speculative bursts
+    # (generate/continuous._cb_spec_burst_impl). Greedy = identical tokens,
     # sampled = identical distribution via lossless rejection sampling;
-    # fewer dispatches either way). Ignored under continuous batching.
+    # fewer weight-stream passes either way.
     speculative_k: int = 0
 
     def __post_init__(self):
@@ -117,6 +119,7 @@ class EvalRunner:
                 self.model_cfg, self.gen_cfg, n_slots=n_slots,
                 cache_len=cache_len, adapters=self.adapters,
                 lora_scale=self.lora_scale,
+                speculative_k=self.speculative_k,
             )
         outs = self._cb_engines[key].run(self.params, reqs, progress=progress)
         results = []

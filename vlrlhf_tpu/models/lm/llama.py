@@ -465,6 +465,37 @@ def lm_decode(
     return logits, new_cache, new_pending
 
 
+def flush_pending(cfg: LMConfig, cache: dict, pending: dict) -> dict:
+    """Write a deferred kv (`pending`, as produced by lm_decode) into the
+    decode cache and return the updated cache. Used where a multi-token
+    program takes over from single-token decode (the speculative burst's
+    chunk forwards write their own kv immediately, so the pending slot must
+    land exactly once, up front). Rows with pos == cache_len are no-ops
+    (OOB scatter drops)."""
+    b = pending["pos"].shape[0]
+    li = jnp.arange(cfg.num_layers)[:, None, None]
+    bi = jnp.arange(b)[None, :, None]
+    hi = jnp.arange(cfg.num_kv_heads)[None, None, :]
+    pos = pending["pos"][None, :, None]
+    ck, cv = cache["k"], cache["v"]
+    pk, pv = pending["k"], pending["v"]
+    out = dict(cache)
+    if "k_scale" in cache:
+        from vlrlhf_tpu.ops.quant import quantize_kv
+
+        pk, pks = quantize_kv(pk)
+        pv, pvs = quantize_kv(pv)
+        out["k_scale"] = cache["k_scale"].at[li, bi, hi, pos].set(
+            pks, mode="drop"
+        )
+        out["v_scale"] = cache["v_scale"].at[li, bi, hi, pos].set(
+            pvs, mode="drop"
+        )
+    out["k"] = ck.at[li, bi, hi, pos].set(pk.astype(ck.dtype), mode="drop")
+    out["v"] = cv.at[li, bi, hi, pos].set(pv.astype(cv.dtype), mode="drop")
+    return out
+
+
 def lm_prefill_chunk(
     cfg: LMConfig,
     params: PyTree,
