@@ -240,8 +240,22 @@ def _measure_eval_generation():
 def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
     """Continuous batching vs static batching, 7B int8 weights, mixed output
     lengths (the sglang-role workload: stragglers idle static slots;
-    continuous refills them — VERDICT r2 item 2, target >=1.3x)."""
+    continuous refills them — VERDICT r2 item 2, target >=1.3x).
+
+    Scheduler knobs come from the environment so the on-chip sweep
+    (tools/r4_cb_sweep.py) can run this exact segment, subprocess-isolated,
+    at each config: CB_EXIT_FREE, CB_GROUP, CB_CHUNK, CB_SLOTS, CB_SKIP_STATIC
+    (reuse a known static baseline instead of re-timing it every config)."""
+    import os
+
     import numpy as np
+
+    exit_free = int(os.environ.get("CB_EXIT_FREE", "2"))
+    group = int(os.environ.get("CB_GROUP", "4"))
+    chunk = int(os.environ.get("CB_CHUNK", "128"))
+    n_slots = int(os.environ.get("CB_SLOTS", str(n_slots)))
+    skip_static = float(os.environ.get("CB_SKIP_STATIC", "0"))
+    mixed = bool(int(os.environ.get("CB_MIXED", "0")))
 
     from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
     from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
@@ -301,21 +315,25 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
             "image_positions": np.stack([r.image_positions for r in part]),
         }
         static_batches.append((mx, batch))
-    for mx, batch in static_batches:  # warm each distinct program
-        t = _gen_for(mx)(params, batch)
-    _ = int(jnp.sum(t))
-    t0 = time.perf_counter()
-    for mx, batch in static_batches:
-        t = _gen_for(mx)(params, batch)
-    _ = int(jnp.sum(t))
-    static_dt = time.perf_counter() - t0
+    if skip_static:
+        static_dt = n_requests / skip_static  # sweep mode: known baseline
+    else:
+        for mx, batch in static_batches:  # warm each distinct program
+            t = _gen_for(mx)(params, batch)
+        _ = int(jnp.sum(t))
+        t0 = time.perf_counter()
+        for mx, batch in static_batches:
+            t = _gen_for(mx)(params, batch)
+        _ = int(jnp.sum(t))
+        static_dt = time.perf_counter() - t0
 
     # ---- continuous engine ----
     eng = ContinuousEngine(
         cfg, GenerateConfig(max_new_tokens=max_new, pad_token_id=0,
                             kv_cache_dtype="int8"),
-        n_slots=n_slots, cache_len=cache_len, prefill_chunk=128,
-        max_prefill_group=4,  # int8 KV scratch is small
+        n_slots=n_slots, cache_len=cache_len, prefill_chunk=chunk,
+        max_prefill_group=group,  # int8 KV scratch is small
+        exit_free=exit_free, mixed_admit=mixed,
     )
     eng.warmup(params, reqs[0])  # compile every group size + burst
     t0 = time.perf_counter()
@@ -328,6 +346,8 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
         "cb_speedup": round(static_dt / cb_dt, 3),
         "useful_tok_per_sec": round(useful / cb_dt, 1),
         "n_requests": n_requests, "n_slots": n_slots,
+        "exit_free": exit_free, "max_prefill_group": group,
+        "prefill_chunk": chunk, "mixed_admit": mixed,
         "prompt_len": L, "max_new": max_new,
         "output_lens": "uniform(16,256)",
         "model": "llava-7b geometry, int8 weights + int8 KV",

@@ -154,29 +154,23 @@ def encode_images(
     return projector_forward(cfg.projector, params["projector"], feats)
 
 
-def vlm_forward(
+def vlm_embeds(
     cfg: VLMConfig,
     params: PyTree,
     *,
     input_ids: jax.Array,  # (B, S) — placeholders already expanded
     pixel_values: Optional[jax.Array] = None,  # (B, n_img, H, W, 3)
-    image_positions: Optional[jax.Array] = None,  # (B, n_img*num_image_tokens)
-    pad_mask: Optional[jax.Array] = None,
-    segment_ids: Optional[jax.Array] = None,
-    positions: Optional[jax.Array] = None,
+    image_positions: Optional[jax.Array] = None,
     ctx: Optional[Ctx] = None,
-    cache: Optional[dict] = None,
-    kv_mask: Optional[jax.Array] = None,
-    cache_len: Optional[int] = None,  # empty-prefill mode (lm_forward)
-    kv_cache_dtype=None,
     image_features: Optional[jax.Array] = None,  # precomputed (skip tower)
     qformer_ids: Optional[jax.Array] = None,
     qformer_mask: Optional[jax.Array] = None,
     anyres_gather: Optional[jax.Array] = None,  # (B, n_tok) llava-next map
-    return_logits: bool = True,
-    return_hidden: bool = False,
-):
-    """Returns (logits, new_cache). Text-only batches: pixel_values=None."""
+) -> jax.Array:
+    """Token embeddings with image features merged in — the multimodal half
+    of vlm_forward, exposed for callers that feed the LM in pieces (the
+    continuous-batching mixed admit prefills the prompt chunk-by-chunk
+    through lm_mixed_step while other slots keep decoding)."""
     ctx = ctx or Ctx()
     embeds = embed(params["lm"]["embed_tokens"], input_ids, cfg.lm.dtype)
 
@@ -207,6 +201,40 @@ def vlm_forward(
         embeds = merge_multimodal_embeddings(
             embeds, image_features, image_positions
         )
+    return embeds
+
+
+def vlm_forward(
+    cfg: VLMConfig,
+    params: PyTree,
+    *,
+    input_ids: jax.Array,  # (B, S) — placeholders already expanded
+    pixel_values: Optional[jax.Array] = None,  # (B, n_img, H, W, 3)
+    image_positions: Optional[jax.Array] = None,  # (B, n_img*num_image_tokens)
+    pad_mask: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    ctx: Optional[Ctx] = None,
+    cache: Optional[dict] = None,
+    kv_mask: Optional[jax.Array] = None,
+    cache_len: Optional[int] = None,  # empty-prefill mode (lm_forward)
+    kv_cache_dtype=None,
+    image_features: Optional[jax.Array] = None,  # precomputed (skip tower)
+    qformer_ids: Optional[jax.Array] = None,
+    qformer_mask: Optional[jax.Array] = None,
+    anyres_gather: Optional[jax.Array] = None,  # (B, n_tok) llava-next map
+    return_logits: bool = True,
+    return_hidden: bool = False,
+):
+    """Returns (logits, new_cache). Text-only batches: pixel_values=None."""
+    ctx = ctx or Ctx()
+    embeds = vlm_embeds(
+        cfg, params,
+        input_ids=input_ids, pixel_values=pixel_values,
+        image_positions=image_positions, ctx=ctx,
+        image_features=image_features, qformer_ids=qformer_ids,
+        qformer_mask=qformer_mask, anyres_gather=anyres_gather,
+    )
 
     if cfg.plora and image_positions is not None:
         ctx = dataclasses.replace(

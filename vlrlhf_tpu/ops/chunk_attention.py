@@ -188,15 +188,31 @@ def chunk_attention(
 
     if force_xla:
         return _xla()
-    # scratch rows = nh * C; past ~8 MB of f32 scratch the kernel risks the
-    # scoped-VMEM ceiling — long chunks fall back to the dense path
-    if nh * c * (2 * LANES + hd) * 4 > 8 * 2**20:
-        return _xla()
-
     g = nh // nkv
     itemsize = 1 if quantized else 2
-    while block_s > 128 and 2 * block_s * nkv * hd * itemsize > 4 * 2**20:
+    # Total scoped-VMEM budget, not just the softmax scratch: q and out
+    # blocks (bf16, double-buffered) + k/v cache blocks (double-buffered)
+    # + the f32 m/l/acc scratch + the kernel BODY'S stack temporaries
+    # (scores/probs/mask iotas — ~5 live (nh*C, block_s) f32 values). The
+    # r3 gate only counted the scratch; on the chip Mosaic rejected the
+    # first C=128 x Sc=1024 int8 mixed-admit program at block_s=512 with
+    # "scoped allocation 18.12M > 16.00M", and after capping block_s at 128
+    # still measured 22.46M — the stack temporaries were the unbudgeted
+    # ~10 MB (2 MB per (4096, 128) f32 value). ContinuousEngine caps the
+    # mixed chunk at 64 (int8 KV) / 32 (bf16) to stay inside this model.
+    scratch = nh * c * (2 * LANES + hd) * 4
+    q_out = 2 * (nh * c * hd * 2) * 2
+    budget = 14 * 2**20
+
+    def _need(bs: int) -> int:
+        kv = 2 * 2 * bs * nkv * hd * itemsize
+        temps = 5 * nh * c * bs * 4
+        return scratch + q_out + kv + temps
+
+    while block_s > 128 and _need(block_s) > budget:
         block_s //= 2
+    if _need(min(block_s, 128)) > budget:
+        return _xla()
     block_s = min(block_s, s_len)
     if s_len % block_s or (quantized and block_s % 128 and block_s != s_len):
         step = 128 if quantized else 8
