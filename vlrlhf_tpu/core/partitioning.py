@@ -131,6 +131,12 @@ def default_lm_rules(pipe_layers: bool = False) -> ShardingRules:
              r"/kernel_scale$",
              P(None, "model")),
             (r"(attn/wo|mlp/(down|fc2))/kernel_scale$", P(None, "fsdp")),
+            # ingested-GPTQ zero-point bias (utils/gptq.py): (in/64, out) —
+            # follows the out dim exactly like the scales
+            (r"(lm_head|attn/(wq|wk|wv|wqkv)|mlp/(gate|up|gateup|fc1))"
+             r"/kernel_gbias$",
+             P(None, "model")),
+            (r"(attn/wo|mlp/(down|fc2))/kernel_gbias$", P(None, "fsdp")),
             # LoRA adapters: A maps in->r (shard in on fsdp), B maps r->out
             (r"lora_[^/]*/a$", P("fsdp", None)),
             (r"lora_[^/]*/b$", P(None, "model")),

@@ -52,6 +52,23 @@ def _concat_linears(parts: list[dict]) -> dict:
         out["kernel_scale"] = jnp.concatenate(
             [p["kernel_scale"] for p in parts], -1
         )
+    if any("kernel_gbias" in p for p in parts):
+        # ingested-GPTQ zero-point bias: per-(group, out) — concatenates
+        # along OUT like the scales (all-or-none within a fusion group by
+        # the same quantize-as-a-unit argument; zero-fill if one part was
+        # symmetric)
+        ref_gb = next(p["kernel_gbias"] for p in parts if "kernel_gbias" in p)
+
+        def gb_of(p):
+            if "kernel_gbias" in p:
+                return p["kernel_gbias"]
+            return jnp.zeros(
+                ref_gb.shape[:-1] + (p[key].shape[-1],), ref_gb.dtype
+            )
+
+        out["kernel_gbias"] = jnp.concatenate(
+            [gb_of(p) for p in parts], -1
+        )
     if any("bias" in p for p in parts):
         ref = next(p["bias"] for p in parts if "bias" in p)
 

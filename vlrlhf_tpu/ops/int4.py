@@ -450,6 +450,13 @@ def int4_apply(p: dict, x: jax.Array, force_xla: bool = False) -> jax.Array:
     Differentiable w.r.t. x (custom VJP; QLoRA training over a frozen int4
     base) — the packed kernel and scales receive no gradient.
 
+    ASYMMETRIC checkpoints (ingested GPTQ, utils/gptq.py) carry an extra
+    "kernel_gbias" (n_groups, out) leaf: W = s*(q-8) + gbias[group], so
+    y += group-summed-x @ gbias — an (T, in/64) @ (in/64, out) matmul in
+    plain XLA OUTSIDE the Pallas call (trivially small, auto-
+    differentiable, and keeps the kernel zero-point-free). Our own RTN
+    quantizer is symmetric and never writes the leaf.
+
     Under a MULTI-DEVICE mesh the Pallas kernel would be replicated by
     GSPMD (pallas_call has no partitioning rule — every chip would gather
     every operand), so the call takes the dense dequantize-then-matmul
@@ -465,4 +472,10 @@ def int4_apply(p: dict, x: jax.Array, force_xla: bool = False) -> jax.Array:
         y2d = x2d @ w
     else:
         y2d = _int4_mm_diff(x2d, p["kernel_q4"], p["kernel_scale"])
+    if "kernel_gbias" in p:
+        gb = p["kernel_gbias"]
+        xg = x2d.astype(jnp.float32).reshape(
+            x2d.shape[0], gb.shape[0], GROUP
+        ).sum(axis=-1)
+        y2d = y2d + (xg @ gb.astype(jnp.float32)).astype(y2d.dtype)
     return y2d.reshape(*lead, y2d.shape[-1]).astype(x.dtype)

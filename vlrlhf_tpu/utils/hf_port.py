@@ -173,7 +173,27 @@ def _ln(sd: StateDict, prefix: str) -> dict:
 
 
 def _linear(sd: StateDict, prefix: str) -> dict:
-    out = {"kernel": _dev(_t(sd[f"{prefix}.weight"]))}
+    if f"{prefix}.qweight" in sd:
+        # pre-quantized GPTQ linear (AutoGPTQ layout — the reference loads
+        # these via AutoGPTQForCausalLM, auto_load.py:527-531): ingest the
+        # calibrated codes directly into ops/int4's representation instead
+        # of a float round-trip (utils/gptq.py; zero-points become the
+        # kernel_gbias leaf)
+        from vlrlhf_tpu.utils.gptq import convert_gptq_linear
+
+        g_idx = (np.asarray(sd[f"{prefix}.g_idx"])
+                 if f"{prefix}.g_idx" in sd else None)
+        out = {
+            k: _dev(v)
+            for k, v in convert_gptq_linear(
+                np.asarray(sd[f"{prefix}.qweight"]),
+                np.asarray(sd[f"{prefix}.qzeros"]),
+                np.asarray(sd[f"{prefix}.scales"]),
+                g_idx,
+            ).items()
+        }
+    else:
+        out = {"kernel": _dev(_t(sd[f"{prefix}.weight"]))}
     if f"{prefix}.bias" in sd:
         out["bias"] = _dev(np.asarray(sd[f"{prefix}.bias"]))
     return out
