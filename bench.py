@@ -374,11 +374,13 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
         for mx, batch in static_batches:  # warm each distinct program
             t = _gen_for(mx)(params, batch)
         _ = int(jnp.sum(t))
-        t0 = time.perf_counter()
-        for mx, batch in static_batches:
-            t = _gen_for(mx)(params, batch)
-        _ = int(jnp.sum(t))
-        static_dt = time.perf_counter() - t0
+        static_dt = float("inf")  # best-of-2, same estimator as the CB side
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for mx, batch in static_batches:
+                t = _gen_for(mx)(params, batch)
+            _ = int(jnp.sum(t))
+            static_dt = min(static_dt, time.perf_counter() - t0)
 
     # ---- continuous engine ----
     eng = ContinuousEngine(
@@ -389,14 +391,23 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
         exit_free=exit_free, mixed_admit=mixed,
     )
     eng.warmup(params, reqs[0])  # compile every group size + burst
-    t0 = time.perf_counter()
-    out = eng.run(params, reqs)
-    cb_dt = time.perf_counter() - t0
+    # best-of-2: the CB run interleaves ~100 host-side scheduling turns with
+    # device bursts, so on this 1-CPU host any background wakeup inflates
+    # wall time (observed spread 3.30-3.60 imgs/s across isolated runs of
+    # the SAME deterministic workload; the 3-dispatch static baseline
+    # reproduces to 0.1%). Noise only ever ADDS time -> min is the honest
+    # estimator (timeit's rationale). Device work is identical both passes.
+    cb_dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = eng.run(params, reqs)
+        cb_dt = min(cb_dt, time.perf_counter() - t0)
     useful = int(sum(len(o) for o in out))
     return {
         "imgs_per_sec": round(n_requests / cb_dt, 3),
         "static_imgs_per_sec": round(n_requests / static_dt, 3),
         "cb_speedup": round(static_dt / cb_dt, 3),
+        "cb_best_of": 2,
         "useful_tok_per_sec": round(useful / cb_dt, 1),
         "n_requests": n_requests, "n_slots": n_slots,
         "exit_free": exit_free, "max_prefill_group": group,
@@ -435,10 +446,22 @@ def _measure_ppo_7b():
     # (logits_chunk=256 below) changes that fitting math — sweep it.
     remat = os.environ.get("PPO_REMAT", "attn")
     rollout_mode = os.environ.get("PPO_ROLLOUT", "static")
+    # r4 sweep dims: the full-batch-only update at 'attn' was the r3 MFU
+    # ceiling (36.5%); the production loop (run_ppo_updates) already does
+    # TRL minibatching — the bench now exercises it. A SMALLER update
+    # minibatch refits the memory-hungry fast remat policies ('acts' paid
+    # 1.35x over 'attn' per token in the DPO sweeps) without changing TRL
+    # semantics (mini_batch_size, trl 0.8.1).
+    b = int(os.environ.get("PPO_BATCH", "8"))
+    mb = int(os.environ.get("PPO_MINIBATCH", "0")) or b
+    update_remat = os.environ.get("PPO_UPDATE_REMAT", remat)
 
     cfg = FAMILIES["llava"].make_config()
     cfg = dataclasses.replace(
         cfg, lm=dataclasses.replace(cfg.lm, remat_policy=remat)
+    )
+    cfg_update = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, remat_policy=update_remat)
     )
     params = jax.jit(
         lambda k: quantize_params(init_vlm_params(cfg, k), TRAIN_QUANT_PATTERNS)
@@ -456,9 +479,10 @@ def _measure_ppo_7b():
     tx = make_optimizer(ocfg, trainable)
     state = init_train_state(trainable, tx)
     ppo_cfg = PPOConfig(lora_scale=lcfg.scale, logits_chunk=256)
-    stats_fn, update_fn = make_ppo_fns(cfg, ppo_cfg, tx)
+    stats_fn, _ = make_ppo_fns(cfg, ppo_cfg, tx)
+    _, update_fn = make_ppo_fns(cfg_update, ppo_cfg, tx)
 
-    b, n_new = 8, 64
+    n_new = 64
     n_img = cfg.num_image_tokens
     L = n_img + 32  # VQA-style prompt: one image + short question
     rng = np.random.default_rng(0)
@@ -538,15 +562,33 @@ def _measure_ppo_7b():
                          jnp.asarray(0.2))
     float(stats.kl)
     stats_dt = (time.perf_counter() - t0) / 3
-    state, m = update_fn(state, params, batch, stats)  # compile
+    from vlrlhf_tpu.train.ppo import _take_rows
+
+    n_mb = b // mb
+
+    def _mb_slice(lo):
+        idx = jnp.arange(lo, lo + mb)
+        return (
+            {k: _take_rows(v, idx, b) for k, v in batch.items()},
+            type(stats)(*[_take_rows(f, idx, b) for f in stats]),
+        )
+
+    # slices precomputed OUTSIDE the timing loop: eager takes cost ~15 ms/op
+    # over the axon tunnel and would contaminate update_dt (the production
+    # loop amortizes them against real data loading; here they'd be ~half
+    # the measured time). One slice per minibatch, reused across epochs.
+    slices = [_mb_slice(m_ * mb) for m_ in range(n_mb)]
+    jax.block_until_ready(slices[-1][0]["input_ids"])
+    state, m = update_fn(state, params, *slices[0])  # compile
     float(m["ppo/loss/total"])
     t0 = time.perf_counter()
-    for _ in range(3):
-        state, m = update_fn(state, params, batch, stats)
+    for i in range(3 * n_mb):
+        state, m = update_fn(state, params, *slices[i % n_mb])
     float(m["ppo/loss/total"])
-    update_dt = (time.perf_counter() - t0) / 3
+    update_dt = (time.perf_counter() - t0) / (3 * n_mb)
 
-    e2e = rollout_dt + stats_dt + 4 * update_dt  # ppo_epochs=4 default
+    # ppo_epochs=4 default; each epoch = n_mb minibatch optimizer steps
+    e2e = rollout_dt + stats_dt + 4 * n_mb * update_dt
     tok_batch = int(np.prod(batch["input_ids"].shape))
     flops = (
         F.ppo_flops_per_token(cfg, batch["input_ids"].shape[1], ppo_epochs=4)
@@ -560,12 +602,13 @@ def _measure_ppo_7b():
             if rollout_mode == "cb" else ""
         ),
         "remat_policy": remat,
+        "update_remat": update_remat,
         "stats_ms": round(stats_dt * 1e3, 1),
         "update_ms": round(update_dt * 1e3, 1),
         "rollout_ms": round(rollout_dt * 1e3, 1),
         "e2e_steps_per_sec": round(1.0 / e2e, 3),
         "e2e_mfu": round(flops / e2e / _peak_flops(), 4),
-        "batch": b, "prompt_len": L, "new_tokens": n_new,
+        "batch": b, "minibatch": mb, "prompt_len": L, "new_tokens": n_new,
         "ppo_epochs": 4,
         "model": "llava-7b geometry, int8 frozen base + LoRA r64",
     }
@@ -795,20 +838,35 @@ def _run_seg(name: str, timeout: float = 1800.0) -> dict:
     import sys as _sys
 
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        p = subprocess.run(
-            [_sys.executable, os.path.join(here, "bench.py"), "--seg", name],
-            capture_output=True, text=True, timeout=timeout, cwd=here,
-        )
-    except subprocess.TimeoutExpired:
-        return {"error": f"segment {name} timed out after {timeout:.0f}s"}
-    for line in reversed((p.stdout or "").strip().splitlines()):
+    last_err = None
+    for attempt in range(2):
         try:
-            return json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-    tail = (p.stderr or "")[-300:].replace("\n", " | ")
-    return {"error": f"segment {name}: rc={p.returncode} stderr: {tail}"}
+            p = subprocess.run(
+                [_sys.executable, os.path.join(here, "bench.py"),
+                 "--seg", name],
+                capture_output=True, text=True, timeout=timeout, cwd=here,
+            )
+        except subprocess.TimeoutExpired:
+            return {"error": f"segment {name} timed out after {timeout:.0f}s"}
+        for line in reversed((p.stdout or "").strip().splitlines()):
+            try:
+                return json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+        tail = (p.stderr or "")[-300:].replace("\n", " | ")
+        last_err = {"error": f"segment {name}: rc={p.returncode} "
+                             f"stderr: {tail}"}
+        # the axon tunnel frees a just-exited client's HBM lazily; the
+        # NEXT segment's first big alloc can transiently RESOURCE_EXHAUST
+        # (observed r4: the same segment passed clean seconds later).
+        # One delayed retry only for that signature.
+        if "RESOURCE_EXHAUSTED" not in (p.stderr or ""):
+            break
+        last_err["note"] = "transient RESOURCE_EXHAUSTED; retried once"
+        import time as _time
+
+        _time.sleep(20)
+    return last_err
 
 
 def main():

@@ -178,6 +178,50 @@ def main():
     print("judge co-residency smoke OK: two int8 7B stacks + caches on one "
           "chip")
 
+    # ---- benchmark-scale sustained run (VERDICT r3 next-item 7): a few
+    # hundred MMBench-style rows alternating generate/judge — the 8-row
+    # smoke could not rule out a transient OOM mid-benchmark; this can.
+    # Fresh host-built prompts per batch (new ids/pixels each iteration,
+    # like a real benchmark's data loader) so the allocator sees the real
+    # churn pattern, not one cached pair of input buffers. ----
+    if "--rows" in sys.argv:
+        n_rows = int(sys.argv[sys.argv.index("--rows") + 1])
+        n_batches = -(-n_rows // b)
+        t0 = time.perf_counter()
+        done = 0
+        for step in range(n_batches):
+            ids = rng.integers(5, 30000, (b, L)).astype(np.int32)
+            for i in range(b):
+                ids[i, pos[i]] = cfg_eval.image_token_id
+            eval_batch = dict(
+                eval_batch,
+                input_ids=ids,
+                pixel_values=rng.integers(
+                    0, 255, (b, 1, img, img, 3)
+                ).astype(np.float32) / 255.0,
+            )
+            toks = gen_eval(params_eval, eval_batch,
+                            rng=jax.random.PRNGKey(100 + step))
+            judge_batch = dict(
+                judge_batch,
+                input_ids=rng.integers(5, 30000, (jb, jl)).astype(np.int32),
+            )
+            jt = gen_judge(params_judge, judge_batch,
+                           rng=jax.random.PRNGKey(500 + step))
+            # fetch both (forces execution through the tunnel each round)
+            _ = int(jnp.sum(toks)) + int(jnp.sum(jt))
+            done += b
+            if (step + 1) % 8 == 0:
+                dt = time.perf_counter() - t0
+                print(f"  sustained: {done}/{n_rows} rows "
+                      f"{done / dt:.2f} rows/s (gen+judge)")
+                mem(f"sustained @{done}")
+        dt = time.perf_counter() - t0
+        mem("sustained end")
+        print(f"sustained co-residency OK: {done} rows alternating "
+              f"generate(32 new)/judge(8 new) in {dt:.0f}s "
+              f"({done / dt:.2f} rows/s), zero OOM")
+
 
 if __name__ == "__main__":
     main()

@@ -17,18 +17,26 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 LOG = os.path.join(HERE, "r4_sweep_results.log")
 
+# (remat, rollout, batch, minibatch, update_remat). Pass 1 (remat=update
+# remat, full batch) showed every policy but 'attn' OOMs the b=8 update —
+# pass 2 shrinks the UPDATE minibatch to refit the fast policies ('acts'
+# beat 'attn' 1.35x/token in the DPO sweeps) and scales the ROLLOUT batch
+# to amortize its weight-bound decode. TRL-faithful: mini_batch_size.
 CONFIGS = [
-    ("attn", "static"),  # r3 shipping config — the reference point
-    ("acts", "static"),  # chunked logps changed the fitting math vs r3
-    ("mlp", "static"),
-    ("mlp1", "static"),
-    ("acts", "cb"),      # best remat + slot-refill eos-stopping rollouts
+    ("attn", "static", 8, 4, "acts"),    # refit acts via mb=4
+    ("attn", "static", 8, 4, "mlp1"),
+    ("attn", "static", 8, 2, "acts"),    # even smaller update slice
+    ("attn", "static", 16, 4, "acts"),   # 2x rollout batch, amortize decode
+    ("attn", "static", 16, 8, "attn"),   # 2x batch at the known-safe policy
+    ("attn", "cb", 16, 4, "acts"),       # + slot-refill rollouts
 ]
 
 
 def main():
-    for remat, rollout in CONFIGS:
-        env = dict(os.environ, PPO_REMAT=remat, PPO_ROLLOUT=rollout)
+    for remat, rollout, batch, mb, uremat in CONFIGS:
+        env = dict(os.environ, PPO_REMAT=remat, PPO_ROLLOUT=rollout,
+                   PPO_BATCH=str(batch), PPO_MINIBATCH=str(mb),
+                   PPO_UPDATE_REMAT=uremat)
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--seg", "ppo"],
@@ -41,7 +49,8 @@ def main():
                 break
             except (json.JSONDecodeError, ValueError):
                 continue
-        rec = {"config": {"remat": remat, "rollout": rollout},
+        rec = {"config": {"remat": remat, "rollout": rollout,
+                          "batch": batch, "mb": mb, "update_remat": uremat},
                "wall_s": round(time.time() - t0, 1)}
         if out is None:
             rec["error"] = (p.stderr or "")[-400:].replace("\n", " | ")

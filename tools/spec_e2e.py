@@ -1,0 +1,143 @@
+"""END-TO-END speculative-decoding speedup through the continuous-batching
+engine on the real chip (VERDICT r3 next-item 1b: the r3 record only
+measured per-dispatch verify costs; the production-path e2e gain was never
+measured).
+
+A/B at the BENCH serving workload (7B int8 W+KV, 608-token image prompts,
+48 requests / 16 slots, output budgets uniform(16,256)): the SAME
+ContinuousEngine run with speculative_k in {0, K...}. Greedy decode —
+the standard eval/serving mode, and the mode whose spec path is
+bit-identical to plain decode (tests pin it), so the A/B is pure perf.
+
+Acceptance honesty: with random-init weights, greedy decode settles into
+repetitive continuations (huge random logit gaps make argmax stable), which
+prompt-lookup bigram drafting predicts well — that is the ECHO-HEAVY end of
+real workloads (OCR/quote-style VQA answers). The adversarial end is
+sampled decode at temperature 1.0 (acceptance ~ 0: drafts almost never
+match fresh samples), run here too — speculation must not cost much when
+drafts miss. Real VQA sits between the two bounds; both wall-clock A/Bs
+are reported. (Per-verify acceptance counts live inside the burst
+while_loop and are not downloaded — the packed-row contract stays shared
+with the plain burst — so the evidence here is end-to-end time, which is
+the number that matters, plus bit-exact greedy parity.)
+
+Usage: python tools/spec_e2e.py [--reqs N] [--slots N] [--ks 3,7]
+Appends one JSON line per config to tools/r4_sweep_results.log.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request  # noqa: E402
+from vlrlhf_tpu.generate.engine import GenerateConfig  # noqa: E402
+from vlrlhf_tpu.models.registry import FAMILIES  # noqa: E402
+from vlrlhf_tpu.models.vlm import init_vlm_params  # noqa: E402
+from vlrlhf_tpu.ops.quant import quantize_params  # noqa: E402
+
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "r4_sweep_results.log")
+
+
+def _workload(cfg, n_requests, seed=0):
+    rng = np.random.default_rng(seed)
+    n_img = cfg.num_image_tokens
+    L = n_img + 32
+    img = cfg.vision.image_size
+    stops = rng.integers(16, 257, n_requests)
+    pos = np.arange(2, 2 + n_img, dtype=np.int32)
+    pixels = rng.integers(0, 255, (img, img, 3)).astype(np.float32) / 255.0
+    reqs = []
+    for i in range(n_requests):
+        ids = rng.integers(5, 30000, (L,)).astype(np.int32)
+        ids[pos] = cfg.image_token_id
+        reqs.append(Request(input_ids=ids, pixel_values=pixels,
+                            image_positions=pos,
+                            max_new_tokens=int(stops[i])))
+    return reqs, L
+
+
+def _run(cfg, params, reqs, n_slots, k, sample, label):
+    gcfg = GenerateConfig(
+        max_new_tokens=256, pad_token_id=0, kv_cache_dtype="int8",
+        do_sample=sample, temperature=1.0 if sample else 0.0,
+    )
+    eng = ContinuousEngine(
+        cfg, gcfg, n_slots=n_slots, cache_len=1024, prefill_chunk=128,
+        max_prefill_group=4, speculative_k=k,
+    )
+    eng.warmup(params, reqs[0])
+    t0 = time.perf_counter()
+    out = eng.run(params, reqs,
+                  rng=jax.random.PRNGKey(7) if sample else None)
+    dt = time.perf_counter() - t0
+    n_tok = sum(len(o) for o in out)
+    rec = {
+        "config": label, "speculative_k": k,
+        "mode": "sampled_t1.0" if sample else "greedy",
+        "imgs_per_sec": round(len(reqs) / dt, 3),
+        "tok_per_sec": round(n_tok / dt, 1),
+        "burst_ms_mean": round(dt / max(1, eng.last_bursts) * 1e3, 1),
+        "n_bursts": eng.last_bursts, "n_admits": eng.last_admits,
+        "n_tokens": n_tok, "wall_s": round(dt, 1),
+    }
+    del eng
+    return rec, out
+
+
+def main():
+    assert jax.default_backend() == "tpu", "e2e spec A/B needs the chip"
+    n_reqs = (int(sys.argv[sys.argv.index("--reqs") + 1])
+              if "--reqs" in sys.argv else 48)
+    n_slots = (int(sys.argv[sys.argv.index("--slots") + 1])
+               if "--slots" in sys.argv else 16)
+    ks = [int(x) for x in (
+        sys.argv[sys.argv.index("--ks") + 1] if "--ks" in sys.argv else "3,7"
+    ).split(",")]
+
+    cfg = FAMILIES["llava"].make_config()
+    params = jax.jit(
+        lambda k: quantize_params(init_vlm_params(cfg, k))
+    )(jax.random.PRNGKey(0))
+    reqs, L = _workload(cfg, n_reqs)
+    print(f"workload: {n_reqs} reqs, prompt {L}, 7B int8 W+KV, "
+          f"{n_slots} slots")
+
+    base_tokens = None
+    results = []
+    for k in [0] + ks:
+        rec, out = _run(cfg, params, reqs, n_slots, k, False,
+                        f"greedy k={k}")
+        if k == 0:
+            base_tokens = out
+        else:
+            rec["greedy_parity"] = out == base_tokens
+            base = results[0]
+            rec["e2e_speedup_vs_k0"] = round(
+                rec["imgs_per_sec"] / base["imgs_per_sec"], 3)
+        results.append(rec)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(LOG, "a") as f:
+            f.write(f"[r4 spec_e2e] {line}\n")
+
+    # adversarial bound: sampled t=1.0, drafts nearly never accepted
+    k_adv = ks[0]
+    rec, _ = _run(cfg, params, reqs, n_slots, k_adv, True,
+                  f"sampled k={k_adv}")
+    rec0, _ = _run(cfg, params, reqs, n_slots, 0, True, "sampled k=0")
+    rec["e2e_speedup_vs_k0"] = round(
+        rec["imgs_per_sec"] / rec0["imgs_per_sec"], 3)
+    for r in (rec0, rec):
+        line = json.dumps(r)
+        print(line, flush=True)
+        with open(LOG, "a") as f:
+            f.write(f"[r4 spec_e2e] {line}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -945,6 +945,11 @@ class ContinuousEngine:
         live = 0
         it = 0
         n_done = 0
+        # dispatch counters, exposed for perf tools (tools/spec_e2e.py):
+        # tokens-emitted / last_bursts is the per-burst yield — under
+        # speculation that ratio IS the measured acceptance evidence
+        self.last_bursts = 0
+        self.last_admits = 0
 
         def finish(slot: int):
             nonlocal live, n_done
@@ -1072,6 +1077,7 @@ class ContinuousEngine:
                             inflight, rng, slot_aidx=slot_aidx,
                         )
                     )
+                    self.last_admits += 1
                     if packed is not None:
                         # mixed admit: active slots decoded while the
                         # prompts prefilled — drain their tokens now
@@ -1103,6 +1109,7 @@ class ContinuousEngine:
             )
             consume(packed)
             it += 1
+            self.last_bursts = it
             if progress and it % 16 == 0:
                 print(f"  cb burst={it} done={n_done} live={live}")
 
