@@ -180,6 +180,61 @@ def test_cb_spec_sampled_marginals_match_plain():
         )
 
 
+def test_plain_burst_maintains_spec_history():
+    """The adaptive gate interleaves PLAIN bursts into a speculative
+    engine; _cb_burst_impl must keep the draft history current (prompt +
+    echo + every emitted token at hist[:lengths+1]) or the next spec burst
+    drafts from a stale suffix."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    reqs = _requests(2, seed=5)
+    for r in reqs:
+        r.max_new_tokens = 6
+    eng = ContinuousEngine(
+        cfg, GenerateConfig(max_new_tokens=6, pad_token_id=-1),
+        n_slots=2, cache_len=64, prefill_chunk=8, speculative_k=2,
+    )
+    cache, pending, state, hist = eng._fresh_buffers()
+    rng = jax.device_put(jax.random.PRNGKey(0))
+    cache, pending, state, hist, rng, _ = eng._admit_group(
+        params, cache, pending, state, hist, [(0, 0), (1, 1)], reqs, rng
+    )
+    cache, pending, state, hist, rng, packed = eng._burst(
+        params, cache, pending, state, hist, rng, 0, [0, 0], spec=False
+    )
+    packed = np.asarray(packed)
+    hist_np = np.asarray(hist)
+    for slot in (0, 1):
+        prompt = [int(t) for t in reqs[slot].input_ids]
+        echo = int(packed[slot, 0])
+        n_adv = int(packed[slot, -1]) - len(prompt)
+        assert n_adv > 0
+        toks = [int(t) for t in packed[slot, 1 : 1 + n_adv]]
+        want = prompt + [echo] + toks
+        assert hist_np[slot, : len(want)].tolist() == want, slot
+
+
+def test_cb_spec_adaptive_probe_parity():
+    """With the adaptive gate thrashing between the speculative and plain
+    burst programs every other dispatch, greedy output must stay identical
+    to the static engine — mode switches are invisible to correctness."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    reqs = _requests()
+    want_full = _generator_expected(cfg, params, reqs, max_new=10)
+    eng = ContinuousEngine(
+        cfg, GenerateConfig(max_new_tokens=10, pad_token_id=-1),
+        n_slots=2, cache_len=64, prefill_chunk=8, speculative_k=3,
+    )
+    assert eng.speculative_adaptive
+    eng._probe_every = 2
+    got = eng.run(params, reqs)
+    for g, w, r in zip(got, want_full, reqs):
+        assert g == w[: r.max_new_tokens], (g, w)
+    # both programs actually dispatched (spec first, probes plain)
+    assert 0 < eng.last_spec_bursts < eng.last_bursts
+
+
 def test_eval_runner_cb_speculative_matches():
     """EvalRunner(continuous_batching=True, speculative_k>0) reproduces the
     plain CB path's greedy responses — the flag now reaches the production

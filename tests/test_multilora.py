@@ -43,12 +43,21 @@ def test_stack_adapter_sets_axes():
     stacked = stack_adapter_sets(sets)
 
     def check(path, leaf, s0):
+        # inner-axis stacking (see stack_adapter_sets): 'a' leaves gain an
+        # N axis before r; 'b' leaves fold N into the contraction axis —
+        # the mixed delta is then two dense matmuls at width N*r
+        n = 2
         if "layers_scanned" in path:
-            assert leaf.shape == (s0.shape[0], 2) + s0.shape[1:], (
-                path, leaf.shape, s0.shape
-            )
+            if path.endswith("/a"):
+                want = (s0.shape[0], s0.shape[1], n, s0.shape[2])
+            else:
+                want = (s0.shape[0], n * s0.shape[1], s0.shape[2])
         else:
-            assert leaf.shape == (2,) + s0.shape, (path, leaf.shape)
+            if path.endswith("/a"):
+                want = (s0.shape[0], n, s0.shape[1])
+            else:
+                want = (n * s0.shape[0], s0.shape[1])
+        assert leaf.shape == want, (path, leaf.shape, want)
 
     from vlrlhf_tpu.core.partitioning import tree_paths
 

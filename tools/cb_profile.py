@@ -91,12 +91,12 @@ def main():
         return out
 
     def timed_burst(params, cache, pending, state, hist, rng_, exit_free,
-                    slot_aidx):
+                    slot_aidx, spec=None):
         if t_last_done[0] is not None:
             rec["host_gap"].append(time.perf_counter() - t_last_done[0])
         t0 = time.perf_counter()
         out = orig_burst(params, cache, pending, state, hist, rng_,
-                         exit_free, slot_aidx)
+                         exit_free, slot_aidx, spec=spec)
         packed = np.asarray(out[-1])
         t1 = time.perf_counter()
         rec["burst"].append(t1 - t0)

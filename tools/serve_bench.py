@@ -59,8 +59,12 @@ def main():
 
         lcfg = LoraConfig(r=64, alpha=16.0, dropout=0.0,
                           target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"))
+        # serving dtype: bf16 adapters (init_lora's f32 default is the
+        # TRAINING master dtype; serving reads the adapters every step, so
+        # f32 doubles their HBM stream and inserts converts before the
+        # mixed matmuls)
         adapter_sets = [
-            jax.jit(lambda k: init_lora(params, lcfg, k))(
+            jax.jit(lambda k: init_lora(params, lcfg, k, dtype=cfg.lm.dtype))(
                 jax.random.PRNGKey(40 + i)
             )
             for i in range(n_ad)

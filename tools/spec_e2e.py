@@ -6,8 +6,11 @@ measured).
 A/B at the BENCH serving workload (7B int8 W+KV, 608-token image prompts,
 48 requests / 16 slots, output budgets uniform(16,256)): the SAME
 ContinuousEngine run with speculative_k in {0, K...}. Greedy decode —
-the standard eval/serving mode, and the mode whose spec path is
-bit-identical to plain decode (tests pin it), so the A/B is pure perf.
+the standard eval/serving mode. Token agreement with k=0 is reported
+QUANTIFIED (identical-request count): on the real chip the verify-chunk
+and decode programs round differently in bf16, so rare single-ulp argmax
+ties flip at random-init margins (tools/spec_parity_probe.py quantifies;
+CPU f32 parity is bit-exact by tests).
 
 Acceptance honesty: with random-init weights, greedy decode settles into
 repetitive continuations (huge random logit gaps make argmax stable), which
@@ -61,7 +64,7 @@ def _workload(cfg, n_requests, seed=0):
     return reqs, L
 
 
-def _run(cfg, params, reqs, n_slots, k, sample, label):
+def _run(cfg, params, reqs, n_slots, k, sample, label, adaptive=True):
     gcfg = GenerateConfig(
         max_new_tokens=256, pad_token_id=0, kv_cache_dtype="int8",
         do_sample=sample, temperature=1.0 if sample else 0.0,
@@ -69,6 +72,7 @@ def _run(cfg, params, reqs, n_slots, k, sample, label):
     eng = ContinuousEngine(
         cfg, gcfg, n_slots=n_slots, cache_len=1024, prefill_chunk=128,
         max_prefill_group=4, speculative_k=k,
+        speculative_adaptive=adaptive,
     )
     eng.warmup(params, reqs[0])
     t0 = time.perf_counter()
@@ -85,6 +89,11 @@ def _run(cfg, params, reqs, n_slots, k, sample, label):
         "n_bursts": eng.last_bursts, "n_admits": eng.last_admits,
         "n_tokens": n_tok, "wall_s": round(dt, 1),
     }
+    if k:
+        rec["adaptive_gate"] = adaptive
+        rec["spec_burst_fraction"] = round(
+            eng.last_spec_bursts / max(eng.last_bursts, 1), 3
+        )
     del eng
     return rec, out
 
@@ -115,7 +124,10 @@ def main():
         if k == 0:
             base_tokens = out
         else:
-            rec["greedy_parity"] = out == base_tokens
+            rec["greedy_identical"] = (
+                f"{sum(a == b for a, b in zip(out, base_tokens))}"
+                f"/{len(out)}"
+            )
             base = results[0]
             rec["e2e_speedup_vs_k0"] = round(
                 rec["imgs_per_sec"] / base["imgs_per_sec"], 3)
@@ -125,14 +137,20 @@ def main():
         with open(LOG, "a") as f:
             f.write(f"[r4 spec_e2e] {line}\n")
 
-    # adversarial bound: sampled t=1.0, drafts nearly never accepted
+    # adversarial bound: sampled t=1.0, drafts nearly never accepted —
+    # measured raw (gate off: the honest all-miss verify tax) and gated
+    # (production default: the engine flips to plain bursts)
     k_adv = ks[0]
-    rec, _ = _run(cfg, params, reqs, n_slots, k_adv, True,
-                  f"sampled k={k_adv}")
     rec0, _ = _run(cfg, params, reqs, n_slots, 0, True, "sampled k=0")
-    rec["e2e_speedup_vs_k0"] = round(
-        rec["imgs_per_sec"] / rec0["imgs_per_sec"], 3)
-    for r in (rec0, rec):
+    recs = [rec0]
+    for adaptive in (False, True):
+        rec, _ = _run(cfg, params, reqs, n_slots, k_adv, True,
+                      f"sampled k={k_adv} gate={adaptive}",
+                      adaptive=adaptive)
+        rec["e2e_speedup_vs_k0"] = round(
+            rec["imgs_per_sec"] / rec0["imgs_per_sec"], 3)
+        recs.append(rec)
+    for r in recs:
         line = json.dumps(r)
         print(line, flush=True)
         with open(LOG, "a") as f:

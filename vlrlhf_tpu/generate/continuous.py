@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Optional, Sequence
 
 import jax
@@ -93,12 +94,16 @@ def _cb_burst_impl(
     cache: dict,
     pending: dict,
     state: jax.Array,  # (4, B) int32 device-resident scheduler state
+    hist: Optional[jax.Array],  # (B, Sc) int32 token history — present on
+    # speculative engines (the adaptive gate runs PLAIN bursts between spec
+    # bursts; the draft history must keep tracking emitted tokens or the
+    # next spec burst drafts from a stale suffix). None on plain engines.
     rng: jax.Array,
     adapters: Optional[PyTree],
     lora_scale: float,
 ):
     """Adaptive decode burst: up to `max_burst` tokens for every active slot
-    in one dispatch. Returns (cache, pending, state, rng,
+    in one dispatch. Returns (cache, pending, state, hist, rng,
     packed (B, max_burst+2): [first-token echo | tokens | final length])."""
     ctx = serving_ctx(adapters, lora_scale)
     eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
@@ -113,7 +118,7 @@ def _cb_burst_impl(
     pending = dict(pending, pos=jnp.where(active0, pending["pos"], sc))
 
     def cond(carry):
-        i, _cache, _pending, _lengths, _last, done, _out, _rng = carry
+        i, _cache, _pending, _lengths, _last, done, _out, _hist, _rng = carry
         go = (i < max_burst) & ~jnp.all(done)
         if exit_free:
             freed = jnp.sum((done & active0).astype(jnp.int32))
@@ -121,18 +126,28 @@ def _cb_burst_impl(
         return go
 
     def body(carry):
-        i, cache, pending, lengths, last_token, done, out, rng = carry
+        i, cache, pending, lengths, last_token, done, out, hist, rng = carry
+        lengths_in = lengths
         cache, pending, lengths, last_token, done, out, rng = _decode_body(
             model_cfg, gen_cfg, params, ctx, eos,
             cache, pending, lengths, last_token, done, out, i, rng,
         )
+        if hist is not None:
+            # hist invariant (see _cb_spec_burst_impl): valid length is
+            # lengths + 1, so this iteration's token lands at lengths_in + 1
+            adv = lengths > lengths_in
+            hpos = jnp.where(adv, lengths_in + 1, sc)
+            hist = hist.at[jnp.arange(b), hpos].set(
+                last_token, mode="drop"
+            )
         done = done | (active0 & ((lengths - lengths0) >= remaining))
-        return (i + 1, cache, pending, lengths, last_token, done, out, rng)
+        return (i + 1, cache, pending, lengths, last_token, done, out,
+                hist, rng)
 
     carry = (jnp.int32(0), cache, pending, lengths0, last0, ~active0,
-             out, rng)
+             out, hist, rng)
     carry = jax.lax.while_loop(cond, body, carry)
-    _, cache, pending, lengths, last_token, done, out, rng = carry
+    _, cache, pending, lengths, last_token, done, out, hist, rng = carry
     state = jnp.stack([
         lengths,
         last_token,
@@ -142,7 +157,7 @@ def _cb_burst_impl(
     packed = jnp.concatenate(
         [last0[:, None], out, lengths[:, None]], axis=1
     )
-    return cache, pending, state, rng, packed
+    return cache, pending, state, hist, rng, packed
 
 
 def _device_draft(
@@ -602,6 +617,17 @@ class ContinuousEngine:
         # device-side prompt-lookup drafts per slot (_cb_spec_burst_impl) —
         # up to K+1 tokens per weight-stream pass; greedy stays
         # bit-identical, sampling stays lossless. 0 = plain one-token steps.
+        speculative_adaptive: bool = True,  # host-side acceptance gate
+        # (active only when speculative_k > 0): the scheduler tracks an EMA
+        # of wall-seconds per emitted token for the speculative and plain
+        # burst programs and dispatches whichever is cheaper, re-probing
+        # the idle mode every _probe_every bursts. Workloads whose drafts
+        # rarely hit (the verify chunk then costs more than a one-token
+        # step for 1 emitted token) degrade to ~plain throughput instead
+        # of paying the measured ~1.4x all-miss verify tax; echo-heavy
+        # workloads stay in spec mode. Plain bursts keep the draft history
+        # current (hist threads through both programs), so switching back
+        # is seamless.
         mixed_admit: bool = False,  # admit via _cb_mixed_admit_impl:
         # prompts prefill chunk-by-chunk WHILE active slots keep decoding
         # (packed GEMMs, no scratch cache). Greedy/sampled outputs are
@@ -618,6 +644,11 @@ class ContinuousEngine:
         self.gen_cfg = gen_cfg
         self.emit_stop_token = emit_stop_token
         self.speculative_k = max(0, speculative_k)
+        self.speculative_adaptive = bool(speculative_adaptive) and (
+            self.speculative_k > 0
+        )
+        self._probe_every = 16  # adaptive gate: re-probe the idle burst
+        # mode once per this many bursts (tests shrink it)
         self.mixed_admit = bool(mixed_admit) and not getattr(
             model_cfg, "plora", False
         )
@@ -700,10 +731,12 @@ class ContinuousEngine:
             )
         return self._compiled[key]
 
-    def _burst_fn(self, exit_free: int):
-        key = ("burst", exit_free)
+    def _burst_fn(self, exit_free: int, spec: Optional[bool] = None):
+        if spec is None:
+            spec = bool(self.speculative_k)
+        key = ("burst", exit_free, spec)
         if key not in self._compiled:
-            if self.speculative_k:
+            if spec:
                 self._compiled[key] = jax.jit(
                     functools.partial(
                         _cb_spec_burst_impl, self.model_cfg, self.gen_cfg,
@@ -712,12 +745,15 @@ class ContinuousEngine:
                     donate_argnums=(1, 2, 3, 4),  # cache/pending/state/hist
                 )
             else:
+                # plain burst; threads hist (None on plain engines — an
+                # empty-pytree donation is a no-op) so the adaptive gate's
+                # plain bursts keep the spec draft history consistent
                 self._compiled[key] = jax.jit(
                     functools.partial(
                         _cb_burst_impl, self.model_cfg, self.gen_cfg,
                         self.decode_burst, exit_free,
                     ),
-                    donate_argnums=(1, 2, 3),
+                    donate_argnums=(1, 2, 3, 4),
                 )
         return self._compiled[key]
 
@@ -836,19 +872,14 @@ class ContinuousEngine:
         return cache, pending, state, hist
 
     def _burst(self, params, cache, pending, state, hist, rng, exit_free,
-               slot_aidx):
-        """Dispatch one decode burst (plain or speculative); normalizes the
-        two programs' signatures for the scheduler loop."""
+               slot_aidx, spec: Optional[bool] = None):
+        """Dispatch one decode burst (plain or speculative — both programs
+        share the (cache, pending, state, hist, rng, packed) contract)."""
         adapters = self._adapters_arg(slot_aidx)
-        if self.speculative_k:
-            return self._burst_fn(exit_free)(
-                params, cache, pending, state, hist, rng,
-                adapters, self.lora_scale,
-            )
-        cache, pending, state, rng, packed = self._burst_fn(exit_free)(
-            params, cache, pending, state, rng, adapters, self.lora_scale,
+        return self._burst_fn(exit_free, spec)(
+            params, cache, pending, state, hist, rng,
+            adapters, self.lora_scale,
         )
-        return cache, pending, state, hist, rng, packed
 
     def warmup(self, params, example: Request) -> None:
         """Compile every program the scheduler can hit — admit at all
@@ -864,11 +895,16 @@ class ContinuousEngine:
             cache, pending, state, hist, rng, _ = self._admit_group(
                 params, cache, pending, state, hist, group, [example], rng
             )
-        for ef in sorted({0, 1, self.exit_free}):
-            cache, pending, state, hist, rng, packed = self._burst(
-                params, cache, pending, state, hist, rng, ef,
-                [0] * self.n_slots,
-            )
+        modes = (
+            (True, False) if self.speculative_adaptive
+            else (None,)
+        )
+        for spec in modes:
+            for ef in sorted({0, 1, self.exit_free}):
+                cache, pending, state, hist, rng, packed = self._burst(
+                    params, cache, pending, state, hist, rng, ef,
+                    [0] * self.n_slots, spec=spec,
+                )
         np.asarray(packed)
 
     # ---------------- the scheduler ----------------
@@ -950,6 +986,14 @@ class ContinuousEngine:
         # speculation that ratio IS the measured acceptance evidence
         self.last_bursts = 0
         self.last_admits = 0
+        # adaptive speculation gate (see __init__): per-mode EMA of
+        # wall-seconds per emitted token, measured at the packed download
+        # (a sync point both modes pay). Hysteresis: switch only on a >=10%
+        # advantage so alternating near-ties don't thrash program switches.
+        adaptive = self.speculative_adaptive
+        use_spec = True
+        ema: dict = {True: None, False: None}
+        self.last_spec_bursts = 0
 
         def finish(slot: int):
             nonlocal live, n_done
@@ -1103,10 +1147,34 @@ class ContinuousEngine:
                 if req_idx[i] >= 0 else 0
                 for i in range(b)
             ]
+            mode = None
+            if adaptive:
+                mode = use_spec
+                if it % self._probe_every == 1:
+                    # refresh the idle mode's EMA; == 1 bootstraps the
+                    # plain estimate on the SECOND burst, so low-acceptance
+                    # workloads escape spec mode almost immediately
+                    mode = not use_spec
+            t0 = time.perf_counter()
             cache, pending, state, hist, rng, packed = self._burst(
                 params, cache, pending, state, hist, rng, exit_free,
-                slot_aidx,
+                slot_aidx, spec=mode,
             )
+            packed = np.asarray(packed)  # ONE download per burst (sync)
+            if adaptive:
+                dec = phase == DECODE
+                emitted = int((packed[dec, -1] - lengths[dec]).sum())
+                if emitted > 0:
+                    c = (time.perf_counter() - t0) / emitted
+                    ema[mode] = (
+                        c if ema[mode] is None else 0.5 * ema[mode] + 0.5 * c
+                    )
+                if ema[True] is not None and ema[False] is not None:
+                    if use_spec and ema[False] < 0.9 * ema[True]:
+                        use_spec = False
+                    elif not use_spec and ema[True] < 0.9 * ema[False]:
+                        use_spec = True
+                self.last_spec_bursts += int(mode)
             consume(packed)
             it += 1
             self.last_bursts = it

@@ -153,10 +153,22 @@ def lora_delta(
                 "LM-path adapters only (a vision tower's batch is images/"
                 "tiles, not request rows)"
             )
-        # a (N, in, r), b (N, r, out), h (B, S, in), mix (B, N)
-        t = jnp.einsum("bsh,nhr->nbsr", h, a)
-        d = jnp.einsum("nbsr,nro->nbso", t, b)
-        delta = jnp.einsum("nbso,bn->bso", d, mix.astype(x.dtype)) * scale
+        # a (in, N, r), b (N*r, out), h (B, S, in), mix (B, N) — the sets
+        # are stacked on INNER axes (stack_adapter_sets) so the N-set delta
+        # is TWO dense MXU matmuls at the N*r contraction width, exactly
+        # like a single rank-N*r adapter, with the mix applied as a free
+        # elementwise mask between them:
+        #   delta_b = sum_n mix_bn * (h_b @ a_n) @ b_n
+        # The first cut used three nbsr einsums; at decode shapes (S=1)
+        # those lowered to ~3 tiny ops per target x 7 targets x 32 layers
+        # and the 4-set serving tax measured ~2x end-to-end — op-count
+        # latency, not the N x adapter-bytes bandwidth this should cost.
+        d_in, n, r = a.shape
+        t = h @ a.reshape(d_in, n * r)  # (B, S, N*r)
+        t = t.reshape(*t.shape[:-1], n, r) * mix.astype(x.dtype)[
+            :, None, :, None
+        ]
+        delta = t.reshape(*h.shape[:-1], n * r) @ b * scale
     else:
         delta = (h @ a) @ b * scale
     if mask is not None:
@@ -167,10 +179,14 @@ def lora_delta(
 def stack_adapter_sets(sets: Sequence[PyTree]) -> PyTree:
     """Stack N adapter pytrees for multi-adapter serving (Ctx.adapter_mix).
 
-    Plain leaves (in, r) stack to (N, in, r); SCANNED leaves (leading layer
-    axis, path contains '_scanned') stack to (L, N, in, r) so the decoder's
-    per-layer scan slice still strips the layer axis first. All sets must
-    share structure and shapes (same LoraConfig targets/rank)."""
+    Layout is chosen so lora_delta's mixed path is two DENSE matmuls (see
+    its comment): 'a' leaves (in, r) stack on the INNER axis to (in, N, r)
+    — contiguous (in, N*r) after reshape — and 'b' leaves (r, out) stack
+    flattened to (N*r, out). SCANNED leaves (leading layer axis, path
+    contains '_scanned') keep the layer axis first: (L, in, N, r) /
+    (L, N*r, out), so the decoder's per-layer slice still strips axis 0.
+    All sets must share structure and shapes (same LoraConfig
+    targets/rank)."""
     import jax.tree_util as jtu
 
     flat0, treedef = jtu.tree_flatten_with_path(sets[0])
@@ -180,9 +196,21 @@ def stack_adapter_sets(sets: Sequence[PyTree]) -> PyTree:
         path = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
         )
+        scanned = "_scanned" in path
         stack = [f[i][1] for f in flats]
-        axis = 1 if "_scanned" in path else 0
-        leaves.append(jnp.stack(stack, axis=axis))
+        n = len(stack)
+        if path.endswith("/a") or path.rsplit("/", 1)[-1] == "a":
+            # (in, r) -> (in, N, r); scanned (L, in, r) -> (L, in, N, r)
+            leaves.append(jnp.stack(stack, axis=2 if scanned else 1))
+        else:
+            # (r, out) -> (N*r, out); scanned (L, r, out) -> (L, N*r, out)
+            st = jnp.stack(stack, axis=1 if scanned else 0)
+            if scanned:
+                L, _, r, out = st.shape
+                leaves.append(st.reshape(L, n * r, out))
+            else:
+                _, r, out = st.shape
+                leaves.append(st.reshape(n * r, out))
     return jtu.tree_unflatten(treedef, leaves)
 
 
