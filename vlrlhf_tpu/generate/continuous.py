@@ -994,6 +994,28 @@ class ContinuousEngine:
         use_spec = True
         ema: dict = {True: None, False: None}
         self.last_spec_bursts = 0
+        # Gate cost model: FULL inter-burst interval per emitted token, not
+        # device-burst time per token. Two earlier cuts measured
+        # dispatch->download and lost to two artifacts: (1) bursts queue
+        # behind async admit prefills, so burst-after-admit samples ran ~3x
+        # long (the FIRST burst is always speculative — its EMA started
+        # poisoned and the gate locked to plain even on echo workloads
+        # where raw spec measured 1.25x e2e); (2) the per-burst HOST gap
+        # (consume/record/scheduling, ~tens of ms on a 1-CPU host) is paid
+        # per burst, and emitting up to K+1 tokens per loop iteration means
+        # spec finishes a burst budget in fewer bursts — an e2e win
+        # invisible to device-only timing. So: t_mark advances at each
+        # burst download, and when adaptive is on, admits are force-
+        # completed (one tiny state fetch per admit round) and t_mark reset
+        # — every measured interval is then host gap + dispatch + burst,
+        # which is exactly the e2e cost the gate should minimize.
+        t_mark = None
+        # probe cadence: exponential backoff — each probe that CONFIRMS
+        # the current mode doubles the interval (cap 8x base), a mode
+        # switch resets it. Steady-state probe overhead decays to ~1%
+        # while a workload shift is still noticed within ~2 intervals.
+        probe_gap = self._probe_every
+        next_probe = 1
 
         def finish(slot: int):
             nonlocal live, n_done
@@ -1136,6 +1158,13 @@ class ContinuousEngine:
                         phase[slot] = DECODE
                         live += 1
                         newly.add(slot)
+                if adaptive:
+                    # force the admit wave to completion (tiny fetch — the
+                    # one adaptive-only sync) and restart the interval
+                    # clock: admit execution must not be attributed to the
+                    # next burst's mode (see the gate cost-model comment)
+                    np.asarray(state)
+                    t_mark = time.perf_counter()
             if live == 0:
                 if source.done():
                     return
@@ -1150,30 +1179,40 @@ class ContinuousEngine:
             mode = None
             if adaptive:
                 mode = use_spec
-                if it % self._probe_every == 1:
-                    # refresh the idle mode's EMA; == 1 bootstraps the
-                    # plain estimate on the SECOND burst, so low-acceptance
-                    # workloads escape spec mode almost immediately
+                if it == next_probe:
+                    # refresh the idle mode's EMA; the first probe on the
+                    # SECOND burst bootstraps the other mode's estimate, so
+                    # low-acceptance workloads escape spec mode almost
+                    # immediately (and echo workloads re-enter it)
                     mode = not use_spec
-            t0 = time.perf_counter()
             cache, pending, state, hist, rng, packed = self._burst(
                 params, cache, pending, state, hist, rng, exit_free,
                 slot_aidx, spec=mode,
             )
             packed = np.asarray(packed)  # ONE download per burst (sync)
             if adaptive:
+                now = time.perf_counter()
                 dec = phase == DECODE
                 emitted = int((packed[dec, -1] - lengths[dec]).sum())
-                if emitted > 0:
-                    c = (time.perf_counter() - t0) / emitted
+                if t_mark is not None and emitted > 0:
+                    c = (now - t_mark) / emitted
                     ema[mode] = (
-                        c if ema[mode] is None else 0.5 * ema[mode] + 0.5 * c
+                        c if ema[mode] is None
+                        else 0.5 * ema[mode] + 0.5 * c
                     )
+                was = use_spec
                 if ema[True] is not None and ema[False] is not None:
                     if use_spec and ema[False] < 0.9 * ema[True]:
                         use_spec = False
                     elif not use_spec and ema[True] < 0.9 * ema[False]:
                         use_spec = True
+                if mode != was:  # this burst was a probe
+                    probe_gap = (
+                        self._probe_every if use_spec != was
+                        else min(2 * probe_gap, 8 * self._probe_every)
+                    )
+                    next_probe = it + probe_gap
+                t_mark = now
                 self.last_spec_bursts += int(mode)
             consume(packed)
             it += 1
