@@ -77,13 +77,13 @@ def main():
     orig_burst = eng._burst
 
     def timed_admit(params, cache, pending, state, hist, group, requests,
-                    rng_, slot_aidx=None):
+                    rng_):
         if t_last_done[0] is not None:
             rec["host_gap"].append(time.perf_counter() - t_last_done[0])
             t_last_done[0] = None
         t0 = time.perf_counter()
         out = orig_admit(params, cache, pending, state, hist, group,
-                         requests, rng_, slot_aidx=slot_aidx)
+                         requests, rng_)
         jnp.asarray(out[2]).block_until_ready()
         _ = int(jnp.sum(out[2]))  # fetch: tunnel has no block sync
         rec["admit"].append(time.perf_counter() - t0)

@@ -403,185 +403,6 @@ def _admit_impl(
     return out, pend, state, hist, rng
 
 
-def _cb_mixed_admit_impl(
-    model_cfg,
-    gen_cfg: GenerateConfig,
-    chunk_c: int,  # prompt tokens consumed per admitted row per iteration
-    params: PyTree,
-    cache: dict,  # donated
-    pending: dict,  # donated
-    state: jax.Array,  # (4, B) int32, donated
-    hist: Optional[jax.Array],  # (B, Sc) (speculative engines), donated
-    slots: jax.Array,  # (bp,) DISTINCT target slots (exact-size group)
-    budgets: jax.Array,  # (bp,)
-    input_ids: jax.Array,  # (bp, lb) right-padded, lb % chunk_c == 0
-    prompt_lens: jax.Array,  # (bp,)
-    pv, ipos, gather, qi, qm,  # multimodal inputs (as _admit_impl)
-    rng: jax.Array,
-    adapters: Optional[PyTree],
-    lora_scale: float,
-):
-    """MIXED admission: prefill the admitted prompts into the big cache
-    chunk-by-chunk while every active slot keeps decoding — one dispatch
-    that replaces the classic scratch-cache admit (_admit_impl) AND the
-    decode tokens the old design stalled during it.
-
-    The classic admit stalls all decoding slots for its full prefill
-    (cb_profile r4: 39% of serving wall time, 294 ms mean per admit at the
-    BENCH workload); here each fori_loop iteration runs ONE
-    lm_mixed_step — decode rows ride the prompt chunk's weight stream
-    (models/lm/llama.py lm_mixed_step docstring has the cost model). The
-    vision tower still runs serially up front (a few ms per image; ~3% of
-    the old stall). No scratch cache exists at all: chunk kv land directly
-    in the big cache rows, so admission's extra HBM is just the (bp, lb, H)
-    prompt embeds (~21 MB at 7B/640) instead of a bp-row scratch cache
-    (~84 MB/row at 7B int8).
-
-    Output contract matches _cb_burst_impl's packed download — the host
-    scheduler consumes decode tokens emitted during admission exactly like
-    a burst's. Admitted slots' first tokens arrive as the NEXT dispatch's
-    echo column (state[_TOK]), exactly as the classic admit.
-
-    Role-model: sglang's chunked-prefill/continuous-batching scheduler
-    (the reference delegates serving to sglang-0.1,
-    /root/reference/src/vlrlhf/eval/utils.py:123-173, which has no chunked
-    prefill at all — its prefills stall decode the same way our classic
-    admit did)."""
-    from vlrlhf_tpu.models.lm.llama import flush_pending, lm_mixed_step
-    from vlrlhf_tpu.models.vlm import vlm_embeds
-    from vlrlhf_tpu.ops.sampling import sample_tokens
-
-    ctx = serving_ctx(adapters, lora_scale)
-    eos = jnp.asarray(gen_cfg.eos_token_ids or (-1,), jnp.int32)
-    pad_id = gen_cfg.pad_token_id
-    bp, lb = input_ids.shape
-    n_chunks = lb // chunk_c
-    b = state.shape[1]
-    sc = cache["k"].shape[3]
-    vocab = model_cfg.lm.vocab_size
-
-    # multi-adapter: ctx.adapter_mix arrives as the per-SLOT (B, N) rows
-    # (admitted slots already carry their request's adapter); expand to the
-    # per-packed-token (T, N) lm_mixed_step needs, and hand the vision
-    # tower the admitted rows' (bp, N) slice (its batch is the group)
-    emb_ctx = ctx
-    lm_ctx = ctx.sub("lm")
-    if ctx.adapter_mix is not None:
-        mix_adm = ctx.adapter_mix[slots]  # (bp, N)
-        mix_packed = jnp.concatenate(
-            [ctx.adapter_mix, jnp.repeat(mix_adm, chunk_c, axis=0)]
-        )  # (B + bp*C, N)
-        emb_ctx = dataclasses.replace(ctx, adapter_mix=mix_adm)
-        lm_ctx = dataclasses.replace(ctx, adapter_mix=mix_packed).sub("lm")
-
-    # land stale-free deferred kv once; chunk/decode writes inside the loop
-    # go straight to the cache (in-place: donated carries inside fori_loop)
-    active0 = state[_ACT].astype(bool)
-    pending = dict(pending, pos=jnp.where(active0, pending["pos"], sc))
-    cache = flush_pending(model_cfg.lm, cache, pending)
-    pending_out = dict(pending, pos=jnp.full((b,), sc, jnp.int32))
-
-    embeds = vlm_embeds(
-        model_cfg, params,
-        input_ids=input_ids, pixel_values=pv, image_positions=ipos,
-        ctx=emb_ctx, anyres_gather=gather, qformer_ids=qi, qformer_mask=qm,
-    )  # (bp, lb, H)
-
-    lengths0, last0 = state[_LEN], state[_TOK]
-    remaining = state[_REM]
-    lengths_init = lengths0.at[slots].set(0)  # admitted rows restart at 0
-    out0 = jnp.full((b, n_chunks), pad_id, jnp.int32)
-    hist_arr = hist if hist is not None else jnp.zeros((1, 1), jnp.int32)
-    adm_logits0 = jnp.zeros((bp, vocab), jnp.float32)
-
-    def body(t, carry):
-        cache, lengths, last_token, done, out, adm_logits, hist_a, rng = carry
-        chunk = jax.lax.dynamic_slice(
-            embeds, (0, t * chunk_c, 0), (bp, chunk_c, embeds.shape[2])
-        )
-        clens = jnp.clip(prompt_lens - t * chunk_c, 0, chunk_c)
-        dec_logits, a_logits, cache = lm_mixed_step(
-            model_cfg.lm, params["lm"],
-            decode_tokens=last_token,
-            decode_active=~done,
-            lengths=lengths,
-            admit_embeds=chunk,
-            admit_slots=slots,
-            admit_clens=clens,
-            cache=cache,
-            ctx=lm_ctx,
-        )
-        rng, krng = jax.random.split(rng)
-        next_token = sample_tokens(
-            dec_logits, krng,
-            temperature=gen_cfg.temperature, top_k=gen_cfg.top_k,
-            top_p=gen_cfg.top_p, do_sample=gen_cfg.do_sample,
-        )
-        next_token = jnp.where(done, pad_id, next_token)
-        out = jax.lax.dynamic_update_slice(
-            out, next_token[:, None], (jnp.int32(0), t)
-        )
-        new_last = jnp.where(done, last_token, next_token)
-        lengths = jnp.where(done, lengths, lengths + 1)
-        if hist is not None:
-            # hist invariant (spec engines): newest emitted token at
-            # hlen-1 == lengths (post-advance); done rows park at Sc
-            hpos = jnp.where(done, sc, lengths)
-            hist_a = hist_a.at[jnp.arange(b), hpos].set(
-                next_token, mode="drop"
-            )
-        done = done | jnp.any(
-            next_token[:, None] == eos[None, :], axis=1
-        ) & active0
-        done = done | (active0 & ((lengths - lengths0) >= remaining))
-        lengths = lengths.at[slots].add(clens)
-        # capture each admitted row's logits at ITS final prompt chunk (the
-        # chunk width can be smaller than the bucket unit, so rows finish
-        # at different iterations)
-        row_final = (clens > 0) & (prompt_lens <= (t + 1) * chunk_c)
-        adm_logits = jnp.where(
-            row_final[:, None], a_logits.astype(jnp.float32), adm_logits
-        )
-        return (cache, lengths, new_last, done, out, adm_logits, hist_a, rng)
-
-    carry = (cache, lengths_init, last0, ~active0, out0, adm_logits0,
-             hist_arr, rng)
-    carry = jax.lax.fori_loop(0, n_chunks, body, carry)
-    cache, lengths, last_token, done, out, adm_logits, hist_arr, rng = carry
-
-    # admitted rows: sample the first response token from the last real
-    # prompt position's logits (computed in the final chunk iteration)
-    rng, krng = jax.random.split(rng)
-    first_token = sample_tokens(
-        adm_logits, krng,
-        temperature=gen_cfg.temperature, top_k=gen_cfg.top_k,
-        top_p=gen_cfg.top_p, do_sample=gen_cfg.do_sample,
-    )
-    done0 = jnp.any(first_token[:, None] == eos[None, :], axis=1)
-    rem = budgets - 1  # the prefill itself emitted the first token
-    adm_active = (~done0) & (rem > 0)
-
-    new_act = (active0 & ~done).astype(jnp.int32)
-    new_rem = remaining - (lengths - lengths0)
-    state = jnp.stack([lengths, last_token, new_act, new_rem])
-    state = state.at[_LEN, slots].set(prompt_lens)
-    state = state.at[_TOK, slots].set(first_token)
-    state = state.at[_ACT, slots].set(adm_active.astype(jnp.int32))
-    state = state.at[_REM, slots].set(rem)
-
-    if hist is not None:
-        cols = jnp.arange(lb)[None, :]
-        hist_arr = hist_arr.at[slots[:, None], cols].set(input_ids)
-        hist_arr = hist_arr.at[slots, prompt_lens].set(first_token)
-    else:
-        hist_arr = None
-
-    packed = jnp.concatenate(
-        [last0[:, None], out, state[_LEN][:, None]], axis=1
-    )
-    return cache, pending_out, state, hist_arr, rng, packed
-
-
 class ContinuousEngine:
     """Slot-refill serving over a fixed B-slot cache."""
 
@@ -628,17 +449,16 @@ class ContinuousEngine:
         # workloads stay in spec mode. Plain bursts keep the draft history
         # current (hist threads through both programs), so switching back
         # is seamless.
-        mixed_admit: bool = False,  # admit via _cb_mixed_admit_impl:
-        # prompts prefill chunk-by-chunk WHILE active slots keep decoding
-        # (packed GEMMs, no scratch cache). Greedy/sampled outputs are
-        # bit-identical to the classic admit (tests/test_mixed_admit.py);
-        # currently DEFAULT OFF — first chip measurement of the full-width
-        # chunk-attention variant ran 1685 ms/admit vs classic's 294
-        # (tools/mixed_probe.py tracks the ablation). Auto-disabled for
-        # built-in-PLoRA models (per-chunk image-position gating
-        # unimplemented — classic admit keeps XC2 serving correct) and
-        # under a multi-device global mesh (chunk_attention has no
-        # shard_map re-entry yet).
+        # NOTE r5: "mixed admission" (prompts prefilling chunk-by-chunk
+        # WHILE active slots decode, one packed dispatch) was built in r4
+        # and REMOVED in r5 after losing its own benchmark 5.7x on chip
+        # (1685 ms/admit vs classic's 294, r4_sweep_results.log). The loss
+        # is architectural: the Pallas chunk-attention kernel's VMEM
+        # budget caps the prompt chunk at 64 tokens (int8 KV), so a
+        # 640-token admit pays ~10 full weight streams where the classic
+        # batched prefill is MXU-bound and streams weights ~once. Classic
+        # admission already beats the 1.3x CB bar (1.328x, exact-size
+        # admit groups); the engine stays lean (VERDICT r4 next-item 5).
     ):
         self.model_cfg = model_cfg
         self.gen_cfg = gen_cfg
@@ -649,25 +469,6 @@ class ContinuousEngine:
         )
         self._probe_every = 16  # adaptive gate: re-probe the idle burst
         # mode once per this many bursts (tests shrink it)
-        self.mixed_admit = bool(mixed_admit) and not getattr(
-            model_cfg, "plora", False
-        )
-        if self.mixed_admit:
-            from vlrlhf_tpu.ops.decode_attention import _global_mesh_or_none
-
-            mesh = _global_mesh_or_none()
-            if mesh is not None and mesh.devices.size > 1:
-                self.mixed_admit = False
-        # mixed-step chunk width: the Pallas chunk-attention kernel's scoped
-        # VMEM budget caps C at 64 (int8 KV) / 32 (bf16 KV blocks are 2x) at
-        # 7B head geometry (nh=32, hd=128; see ops/chunk_attention.py's
-        # budget model — measured 22.46M scoped at C=128 on the chip);
-        # halve down to the largest divisor of the prompt bucket that fits
-        cap = 64 if gen_cfg.kv_cache_dtype == "int8" else 32
-        mc = max(prefill_chunk, 1)
-        while mc > cap and mc % 2 == 0:
-            mc //= 2
-        self.mixed_chunk = mc
         self.n_slots = n_slots
         self.cache_len = cache_len
         self.prefill_chunk = max(prefill_chunk, 1)
@@ -718,19 +519,6 @@ class ContinuousEngine:
             )
         return self._compiled[key]
 
-    def _mixed_admit_fn(self):
-        key = "mixed_admit"
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(
-                functools.partial(
-                    _cb_mixed_admit_impl, self.model_cfg, self.gen_cfg,
-                    self.mixed_chunk,
-                ),
-                donate_argnums=(1, 2, 3, 4) if self.speculative_k
-                else (1, 2, 3),
-            )
-        return self._compiled[key]
-
     def _burst_fn(self, exit_free: int, spec: Optional[bool] = None):
         if spec is None:
             spec = bool(self.speculative_k)
@@ -760,14 +548,11 @@ class ContinuousEngine:
     # ---------------- admission ----------------
 
     def _admit_group(self, params, cache, pending, state, hist, group,
-                     requests, rng, slot_aidx=None):
+                     requests, rng):
         """One batched prefill for all (slot, req) pairs admitted this
         round with the same prompt bucket. All inputs ride the jitted
         dispatch as numpy — NO eager uploads. Returns (cache, pending,
-        state, hist, rng, packed): `packed` is None for the classic
-        scratch-cache admit (no download); the mixed admit returns a
-        burst-format download (decode tokens emitted while the prompts
-        prefilled) for the scheduler to consume."""
+        state, hist, rng)."""
         slots = [s for s, _ in group]
         reqs = [requests[ridx] for _, ridx in group]
         lb = max(
@@ -835,23 +620,12 @@ class ContinuousEngine:
             getattr(reqs[min(i, len(reqs) - 1)], "adapter_idx", 0)
             for i in range(bp)
         ]
-        if self.mixed_admit:
-            # the mixed program also advances every DECODING slot, so its
-            # adapter mix covers all B slots (admitted rows included)
-            out = self._mixed_admit_fn()(
-                params, cache, pending, state, hist, slot_vec, budgets,
-                rows, plens, pv, ipos, gather, qi, qm,
-                rng,
-                self._adapters_arg(slot_aidx or [0] * self.n_slots),
-                self.lora_scale,
-            )
-            return out  # (..., rng, packed)
         cache, pending, state, hist, rng = self._admit_fn(lb)(
             params, cache, pending, state, hist, slot_vec, budgets,
             rows, pad, plens, pv, ipos, gather, qi, qm,
             rng, self._adapters_arg(aidx), self.lora_scale,
         )
-        return cache, pending, state, hist, rng, None
+        return cache, pending, state, hist, rng
 
     def _fresh_buffers(self):
         gen_cfg = self.gen_cfg
@@ -892,7 +666,7 @@ class ContinuousEngine:
         b = self.n_slots
         for bp in sorted(sizes):
             group = [(i % b, 0) for i in range(bp)]
-            cache, pending, state, hist, rng, _ = self._admit_group(
+            cache, pending, state, hist, rng = self._admit_group(
                 params, cache, pending, state, hist, group, [example], rng
             )
         modes = (
@@ -1050,11 +824,9 @@ class ContinuousEngine:
         newly: set[int] = set()
 
         def consume(packed) -> None:
-            """Drain one packed download (burst OR mixed admit) into the
-            host mirror. A slot in `newly` consumes its first token from
-            the echo column exactly once — mixed admits mean several
-            downloads can land per admission round, so consumption removes
-            the slot from `newly` instead of relying on round boundaries."""
+            """Drain one packed burst download into the host mirror. A slot
+            in `newly` consumes its first token from the echo column exactly
+            once (the admit dispatch itself downloads nothing)."""
             packed = np.asarray(packed)
             echo, toks = packed[:, 0], packed[:, 1:-1]
             new_lengths = packed[:, -1]
@@ -1125,29 +897,13 @@ class ContinuousEngine:
                         glist[i : i + g] for i in range(0, len(glist), g)
                     )
                 for group in groups:
-                    # per-slot adapter rows for the mixed program's decode
-                    # side: live slots from req_idx, this group's from the
-                    # group itself (its req_idx rows are set just below)
-                    slot_aidx = [
-                        getattr(inflight[int(req_idx[i])], "adapter_idx", 0)
-                        if req_idx[i] >= 0 else 0
-                        for i in range(b)
-                    ]
-                    for slot, ridx in group:
-                        slot_aidx[slot] = getattr(
-                            inflight[ridx], "adapter_idx", 0
-                        )
-                    cache, pending, state, hist, rng, packed = (
+                    cache, pending, state, hist, rng = (
                         self._admit_group(
                             params, cache, pending, state, hist, group,
-                            inflight, rng, slot_aidx=slot_aidx,
+                            inflight, rng,
                         )
                     )
                     self.last_admits += 1
-                    if packed is not None:
-                        # mixed admit: active slots decoded while the
-                        # prompts prefilled — drain their tokens now
-                        consume(packed)
                     for slot, ridx in group:
                         req_idx[slot] = ridx
                         r = inflight[ridx]

@@ -637,167 +637,6 @@ def lm_prefill_chunk(
     return out_logits, new_cache, lengths + chunk_lens
 
 
-def lm_mixed_step(
-    cfg: LMConfig,
-    params: PyTree,
-    *,
-    decode_tokens: jax.Array,  # (B,) last sampled token per slot
-    decode_active: jax.Array,  # (B,) bool — slots taking a decode step now
-    lengths: jax.Array,  # (B,) tokens in cache BEFORE this step, per slot
-    admit_embeds: jax.Array,  # (bp, C, H) this iteration's prompt-chunk
-    # embeddings (image features already merged — models/vlm.vlm_embeds)
-    admit_slots: jax.Array,  # (bp,) cache rows being admitted
-    admit_clens: jax.Array,  # (bp,) real tokens in this chunk (0..C)
-    cache: dict,  # {"k": (L, B, nkv, Sc, hd), ...} head-major decode layout
-    ctx: Optional[Ctx] = None,
-):
-    """ONE weight-stream pass that advances every decoding slot by one token
-    WHILE prefilling a C-token prompt chunk for each admitted slot — the
-    continuous-batching mixed step (generate/continuous._cb_mixed_admit_impl).
-
-    Why this shape: serving decode is weight-read-bound (a 7B int8 step is
-    ~18.5 ms ~= the weight stream) while prompt prefill is MXU-bound, so a
-    separate admit dispatch stalls all decoding slots for its full duration
-    (cb_profile r4: 39% of serving wall time was admit stall). Packing the
-    decode tokens and the prompt chunk into ONE (T, 1, H) token batch
-    (T = B + bp*C) runs every projection/MLP GEMM once for both — the
-    decode rows ride the prefill's weight reads almost for free. The round-3
-    attempt that piggybacked prompt chunks as FULL-WIDTH rows of a (B, C)
-    step paid (B-bp)*(C-1) pad tokens of GEMM FLOPs and measured 4x slower
-    than static batching; packing is what removes that waste. Attention
-    cost does not change: the Pallas chunk kernel (ops/chunk_attention)
-    streams each row's cache once per step exactly like the decode kernel,
-    and its query-side FLOPs are negligible.
-
-    Packed layout (static): token t in [0, B) = slot t's decode token;
-    token B + j*C + u = admitted row j's chunk position u. Layer GEMMs and
-    the LM head run on the packed (T, 1, H); attention runs full-width
-    (B, C) through chunk_attention, with kv scattered straight into the big
-    cache per token (write position Sc = parked, mode="drop"):
-      - decode row i writes its token's kv at `lengths[i]` and attends
-        slots <= lengths[i] (own kv included — written before the kernel
-        reads, the chunk-attention contract), exactly lm_decode semantics
-        without the deferred-pending dance (this runs inside the admit
-        program's fori_loop, where donated carries alias in place);
-      - admit row j writes chunk kv at lengths[slot]+u for u < clen.
-
-    Multi-adapter serving: ctx.adapter_mix must be PER-PACKED-TOKEN (T, N)
-    — the caller expands its per-slot (B, N) rows (decode token i -> row i,
-    chunk tokens of admitted row j -> that slot's row, repeated C times).
-    Built-in PLoRA (XC2) is NOT supported here — image-position gating
-    inside a chunk needs a per-chunk lora_mask; plora engines use the
-    classic scratch-cache admit instead (ContinuousEngine gates on it).
-
-    Returns (decode_logits (B, V), admit_last_logits (bp, V) — logits at
-    each admitted row's LAST REAL prompt position, valid only on the final
-    chunk of its prompt — new_cache)."""
-    ctx = ctx or Ctx()
-    b = decode_tokens.shape[0]
-    bp, c, hdim = admit_embeds.shape
-    t_total = b + bp * c
-    sc = cache["k"].shape[3]
-    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
-    layer_ctx = ctx.sub("layers_scanned")
-    ck_all, cv_all = cache["k"], cache["v"]
-    ks_all, vs_all = cache.get("k_scale"), cache.get("v_scale")
-    quantized_cache = ks_all is not None
-    if quantized_cache:
-        from vlrlhf_tpu.ops.quant import quantize_kv
-    from vlrlhf_tpu.ops.chunk_attention import chunk_attention
-
-    # ---- packed token coordinates (shared by rope + kv scatter) ----
-    adm_len = lengths[admit_slots]  # (bp,) chunk write offset
-    adm_pos = adm_len[:, None] + jnp.arange(c)[None, :]  # (bp, C)
-    positions = jnp.concatenate([lengths, adm_pos.reshape(-1)])  # (T,)
-    rows_vec = jnp.concatenate(
-        [jnp.arange(b, dtype=jnp.int32),
-         jnp.repeat(admit_slots.astype(jnp.int32), c)]
-    )  # (T,) cache row per packed token
-    adm_valid = jnp.arange(c)[None, :] < admit_clens[:, None]  # (bp, C)
-    write_ok = jnp.concatenate([decode_active, adm_valid.reshape(-1)])
-    write_pos = jnp.where(write_ok, positions, sc)  # (T,) parked when pad
-
-    # ---- packed input: (T, 1, H) ----
-    xd = embed(params["embed_tokens"], decode_tokens[:, None], cfg.dtype)
-    x = jnp.concatenate(
-        [xd, admit_embeds.astype(cfg.dtype).reshape(bp * c, 1, hdim)]
-    )
-    cos, sin = rope_frequencies(cfg.rope, positions[:, None], seq_len=sc)
-
-    ri = rows_vec[:, None]  # (T, 1)
-    hi = jnp.arange(nkv)[None, :]  # (1, nkv)
-    pi = write_pos[:, None]  # (T, 1)
-    ti = jnp.arange(c)[None, :]  # chunk column index
-
-    for i in range(cfg.num_layers):
-        lp = jax.tree.map(lambda a: a[i], params["layers_scanned"])
-        la = None
-        if layer_ctx.adapters is not None:
-            la = jax.tree.map(lambda a: a[i], layer_ctx.adapters)
-        # PLoRA gated off (see docstring); trainable adapters apply to all
-        # packed positions exactly as in lm_decode / lm_prefill_chunk
-        lctx = dataclasses.replace(layer_ctx, adapters=la, base_adapters=None)
-        actx = lctx.sub("attn")
-        h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_eps)
-        q, k, v = _qkv_proj(lp["attn"], actx, h, nh, nkv, hd)  # (T,1,·,hd)
-        q, k = apply_rope(q, k, cos, sin)
-        # kv scatter straight from the packed layout — no (B, C) kv
-        # materialization (only q needs the full-width view, for the kernel)
-        kt, vt = k[:, 0], v[:, 0]  # (T, nkv, hd)
-        if quantized_cache:
-            kq, ksc = quantize_kv(kt)
-            vq, vsc = quantize_kv(vt)
-            ck_all = ck_all.at[i, ri, hi, pi].set(kq, mode="drop")
-            cv_all = cv_all.at[i, ri, hi, pi].set(vq, mode="drop")
-            ks_all = ks_all.at[i, ri, hi, pi].set(ksc, mode="drop")
-            vs_all = vs_all.at[i, ri, hi, pi].set(vsc, mode="drop")
-        else:
-            ck_all = ck_all.at[i, ri, hi, pi].set(
-                kt.astype(ck_all.dtype), mode="drop"
-            )
-            cv_all = cv_all.at[i, ri, hi, pi].set(
-                vt.astype(cv_all.dtype), mode="drop"
-            )
-        # full-width queries: decode rows at column 0, admitted rows' chunks
-        # at their slots (admit slots are FREE rows, never also decoding)
-        q_full = jnp.zeros((b, c, nh, hd), q.dtype)
-        q_full = q_full.at[:, 0].set(q[:b, 0])
-        q_full = q_full.at[admit_slots].set(
-            q[b:, 0].reshape(bp, c, nh, hd)
-        )
-        out = chunk_attention(
-            q_full, ck_all, cv_all, lengths, layer=i,
-            k_scale=ks_all, v_scale=vs_all,
-            force_xla=(ctx.attn_impl == "xla"),
-        )  # (B, C, nh, hd)
-        out = jnp.concatenate(
-            [out[:, 0][:, None],
-             out[admit_slots].reshape(bp * c, nh, hd)[:, None]]
-        ).reshape(t_total, 1, nh * hd)
-        out = linear(lp["attn"]["wo"], out, actx.sub("wo"))
-        x = x + out
-        h = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_eps)
-        x = x + _mlp_block(lp["mlp"], lctx.sub("mlp"), h)
-
-    hidden = rms_norm(x, params["norm"]["weight"], cfg.rms_eps)
-    # head on decode rows + each admitted row's last-real-position hidden
-    adm_h = hidden[b:].reshape(bp, c, hdim)
-    last_rel = jnp.clip(admit_clens - 1, 0, c - 1)[:, None, None]
-    adm_last = jnp.take_along_axis(adm_h, last_rel, axis=1)  # (bp, 1, H)
-    head_in = jnp.concatenate([hidden[:b], adm_last])  # (B+bp, 1, H)
-    if cfg.tie_embeddings:
-        logits = head_in @ params["embed_tokens"]["embedding"].astype(
-            head_in.dtype
-        ).T
-    else:
-        logits = linear(params["lm_head"], head_in, ctx.sub("lm_head"))
-    logits = logits[:, 0]  # (B+bp, V)
-    new_cache = {"k": ck_all, "v": cv_all}
-    if quantized_cache:
-        new_cache["k_scale"], new_cache["v_scale"] = ks_all, vs_all
-    return logits[:b], logits[b:], new_cache
-
-
 def remat_policy_for(cfg: LMConfig):
     """Checkpoint policy for the per-layer body (None == 'full')."""
     if cfg.remat_policy == "dots":

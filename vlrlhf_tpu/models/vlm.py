@@ -168,9 +168,7 @@ def vlm_embeds(
     anyres_gather: Optional[jax.Array] = None,  # (B, n_tok) llava-next map
 ) -> jax.Array:
     """Token embeddings with image features merged in — the multimodal half
-    of vlm_forward, exposed for callers that feed the LM in pieces (the
-    continuous-batching mixed admit prefills the prompt chunk-by-chunk
-    through lm_mixed_step while other slots keep decoding)."""
+    of vlm_forward, exposed for callers that feed the LM in pieces."""
     ctx = ctx or Ctx()
     embeds = embed(params["lm"]["embed_tokens"], input_ids, cfg.lm.dtype)
 
