@@ -201,9 +201,12 @@ def _peak_flops():
     return PEAK_BF16_FLOPS.get(gen, 197e12)
 
 
-def _measure_eval_generation():
-    """eval imgs/s through the static engine (the round-2 --eval block, now
-    part of the default output — BASELINE.md's second north-star metric)."""
+def _measure_eval_15b():
+    """1.5B eval continuity rider, ISOLATED in its own segment/subprocess
+    (VERDICT r4 weak #8: the number moved 96.2 -> 80.9 between r3's driver
+    run and an r4 in-process re-run; segment adjacency skews it the same
+    way it skews the serving comparison — isolation is the fix, and the
+    default bench no longer rides it inside the 7B eval segment)."""
     import __graft_entry__ as graft
     from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
     from vlrlhf_tpu.models.vlm import init_vlm_params
@@ -230,13 +233,11 @@ def _measure_eval_generation():
         t = gen(params, gen_batch, rng=jax.random.PRNGKey(1))
     _ = int(jnp.sum(t))
     dt = (time.perf_counter() - t0) / n_iters
-    block_15 = {
+    return {
         "imgs_per_sec": round(bsz / dt, 3), "batch": bsz,
         "prompt_len": prompt_len, "new_tokens": n_new,
         "model": "1.5b flagship bf16",
     }
-    del params, gen
-    return {**_measure_eval_7b(), "continuity_1p5b": block_15}
 
 
 def _measure_eval_7b(n_requests=48, n_slots=16):
@@ -308,7 +309,9 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
     chunk = int(os.environ.get("CB_CHUNK", "128"))
     n_slots = int(os.environ.get("CB_SLOTS", str(n_slots)))
     skip_static = float(os.environ.get("CB_SKIP_STATIC", "0"))
-    mixed = bool(int(os.environ.get("CB_MIXED", "0")))
+    # single-pass by default (VERDICT r4 next-item 1c: fit the driver
+    # budget); CB_BEST_OF=2 restores the r4 min-of-2 estimator for sweeps
+    best_of = int(os.environ.get("CB_BEST_OF", "1"))
 
     from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
     from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
@@ -374,8 +377,8 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
         for mx, batch in static_batches:  # warm each distinct program
             t = _gen_for(mx)(params, batch)
         _ = int(jnp.sum(t))
-        static_dt = float("inf")  # best-of-2, same estimator as the CB side
-        for _ in range(2):
+        static_dt = float("inf")  # same estimator as the CB side
+        for _ in range(best_of):
             t0 = time.perf_counter()
             for mx, batch in static_batches:
                 t = _gen_for(mx)(params, batch)
@@ -388,17 +391,19 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
                             kv_cache_dtype="int8"),
         n_slots=n_slots, cache_len=cache_len, prefill_chunk=chunk,
         max_prefill_group=group,  # int8 KV scratch is small
-        exit_free=exit_free, mixed_admit=mixed,
+        exit_free=exit_free,
     )
     eng.warmup(params, reqs[0])  # compile every group size + burst
-    # best-of-2: the CB run interleaves ~100 host-side scheduling turns with
-    # device bursts, so on this 1-CPU host any background wakeup inflates
-    # wall time (observed spread 3.30-3.60 imgs/s across isolated runs of
-    # the SAME deterministic workload; the 3-dispatch static baseline
-    # reproduces to 0.1%). Noise only ever ADDS time -> min is the honest
-    # estimator (timeit's rationale). Device work is identical both passes.
+    # min-of-N estimator: the CB run interleaves ~100 host-side scheduling
+    # turns with device bursts, so on this 1-CPU host any background wakeup
+    # inflates wall time (observed spread 3.30-3.60 imgs/s across isolated
+    # runs of the SAME deterministic workload; the 3-dispatch static
+    # baseline reproduces to 0.1%). Noise only ever ADDS time -> min is the
+    # honest estimator (timeit's rationale). Device work is identical every
+    # pass. Default is SINGLE-pass to fit the driver budget — the
+    # variance_note below carries the spread so a single draw is readable.
     cb_dt = float("inf")
-    for _ in range(2):
+    for _ in range(best_of):
         t0 = time.perf_counter()
         out = eng.run(params, reqs)
         cb_dt = min(cb_dt, time.perf_counter() - t0)
@@ -407,11 +412,17 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
         "imgs_per_sec": round(n_requests / cb_dt, 3),
         "static_imgs_per_sec": round(n_requests / static_dt, 3),
         "cb_speedup": round(static_dt / cb_dt, 3),
-        "cb_best_of": 2,
+        "cb_best_of": best_of,
+        "variance_note": (
+            "single-pass draw; isolated re-runs of this deterministic "
+            "workload spread ~3.30-3.60 CB imgs/s on this 1-CPU host "
+            "(host-wakeup noise; static side reproduces to 0.1%) — r4 "
+            "controlled A/B: 1.328x, history in tools/r4_sweep_results.log"
+        ) if best_of == 1 else None,
         "useful_tok_per_sec": round(useful / cb_dt, 1),
         "n_requests": n_requests, "n_slots": n_slots,
         "exit_free": exit_free, "max_prefill_group": group,
-        "prefill_chunk": chunk, "mixed_admit": mixed,
+        "prefill_chunk": chunk,
         "prompt_len": L, "max_new": max_new,
         "output_lens": "uniform(16,256)",
         "model": "llava-7b geometry, int8 weights + int8 KV",
@@ -842,8 +853,21 @@ def _measure_spec(n_requests=24, n_slots=8, k=3, seed=0):
         raw (gate off: the honest all-miss verify tax).
 
     Real VQA acceptance sits between the bounds. Full sweep incl. K=7:
-    tools/spec_e2e.py."""
+    tools/spec_e2e.py.
+
+    DEFAULT IS THE BUDGET-SIZED SHAPE (VERDICT r4 next-item 1c): 12
+    requests, greedy echo bound only, single pass — the adversarial sampled
+    bound (0.94-0.96x gated / 0.68x raw at r4's 24-request shape) is cited
+    from tools/r4_sweep_results.log [r4 spec_seg]. SPEC_FULL=1 restores the
+    full 24-request both-bounds min-of-2 r4 segment."""
+    import os
+
     import numpy as np
+
+    full = bool(int(os.environ.get("SPEC_FULL", "0")))
+    if not full:
+        n_requests = 12
+    best_of = 2 if full else 1
 
     from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
     from vlrlhf_tpu.generate.engine import GenerateConfig
@@ -881,8 +905,8 @@ def _measure_spec(n_requests=24, n_slots=8, k=3, seed=0):
             speculative_adaptive=adaptive,
         )
         eng.warmup(params, reqs[0])
-        dt = float("inf")  # best-of-2 (same estimator as the serving seg)
-        for _ in range(2):
+        dt = float("inf")  # min-of-N (same estimator as the serving seg)
+        for _ in range(best_of):
             t0 = time.perf_counter()
             out = eng.run(params, reqs,
                           rng=jax.random.PRNGKey(7) if sample else None)
@@ -896,13 +920,31 @@ def _measure_spec(n_requests=24, n_slots=8, k=3, seed=0):
 
     g0, tok0, _ = _run(0, False)
     gk, tokk, g_frac = _run(k, False)
-    s0, _, _ = _run(0, True)
-    sk_ad, _, ad_frac = _run(k, True)
-    sk_raw, _, _ = _run(k, True, adaptive=False)
+    if full:
+        s0, _, _ = _run(0, True)
+        sk_ad, _, ad_frac = _run(k, True)
+        sk_raw, _, _ = _run(k, True, adaptive=False)
+        adversarial = {
+            "sampled_t1_adversarial_gated": round(sk_ad / s0, 3),
+            "sampled_t1_adversarial_raw": round(sk_raw / s0, 3),
+            "sampled_imgs_per_sec": {
+                "k0": round(s0, 3), "k_gated": round(sk_ad, 3),
+                "k_raw": round(sk_raw, 3)},
+            "sampled_gated_burst_fraction": ad_frac,
+        }
+    else:
+        adversarial = {
+            "sampled_t1_adversarial": (
+                "not re-measured (budget): r4 on-chip record at 24 reqs = "
+                "0.96x gated / 0.68x raw — tools/r4_sweep_results.log "
+                "[r4 spec_seg]; SPEC_FULL=1 re-measures"
+            ),
+        }
     n_same = sum(a == b for a, b in zip(tok0, tokk))
     return {
         "speculative_k": k,
         "greedy_speedup_echo_bound": round(gk / g0, 3),
+        **adversarial,
         "greedy_identical": f"{n_same}/{n_requests}",
         "greedy_divergence": (
             "single-bf16-ulp argmax tie-flips between the verify-chunk and "
@@ -910,15 +952,10 @@ def _measure_spec(n_requests=24, n_slots=8, k=3, seed=0):
             "diverging token ranks top-2 teacher-forced, margin 1-2 ulp; "
             "both engines deterministic; CPU f32 parity bit-exact)"
         ),
-        "sampled_t1_adversarial_gated": round(sk_ad / s0, 3),
-        "sampled_t1_adversarial_raw": round(sk_raw / s0, 3),
-        "spec_burst_fraction": {"greedy": g_frac, "sampled_gated": ad_frac},
-        "imgs_per_sec": {"greedy_k0": round(g0, 3), "greedy_k": round(gk, 3),
-                         "sampled_k0": round(s0, 3),
-                         "sampled_k_gated": round(sk_ad, 3),
-                         "sampled_k_raw": round(sk_raw, 3)},
+        "spec_burst_fraction": {"greedy": g_frac},
+        "imgs_per_sec": {"greedy_k0": round(g0, 3), "greedy_k": round(gk, 3)},
         "n_requests": n_requests, "n_slots": n_slots, "prompt_len": L,
-        "output_lens": "uniform(16,256)", "cb_best_of": 2,
+        "output_lens": "uniform(16,256)", "cb_best_of": best_of,
         "note": ("real-workload acceptance sits between the echo and "
                  "adversarial bounds; drafting is prompt-lookup bigram "
                  "(device-resident), verify rides the chunk-attention "
@@ -934,12 +971,40 @@ SEGMENTS = {
     "qwen": _seg_qwen,
     "xc2": _seg_xc2,
     "c15": _seg_c15,
-    "eval": _measure_eval_generation,
+    "eval": _measure_eval_7b,
+    "eval15": _measure_eval_15b,
     "serving": _measure_serving_cb,
     "ppo": _measure_ppo_7b,
     "int4": _seg_int4,
     "spec": _measure_spec,
 }
+
+# Expected per-segment wall seconds ON THIS CHIP (measured r4/r5, cold-ish
+# compile cache). The budget scheduler skips a segment when the remaining
+# budget can't plausibly cover it, and bounds each subprocess so one hung
+# segment can never eat the whole artifact (the r4 failure mode: BENCH_r04
+# was rc=124/parsed=null because 10 unbounded sequential segments printed
+# nothing until the very end — VERDICT r4 missing #1).
+SEG_EST_S = {
+    "serving": 500.0,   # single-pass static + CB; measured 475s r5 on chip
+    "dpo7": 200.0,
+    "qlora7": 170.0,
+    "eval": 330.0,      # 7B MME-shaped only (1.5B rider moved to eval15)
+    "ppo": 420.0,
+    "int4": 420.0,      # r4 measured 400s
+    "spec": 300.0,      # greedy bound only, single-pass (r4 full was 741s)
+    "c15": 130.0,
+    "qwen": 260.0,
+    "xc2": 330.0,
+    "eval15": 120.0,
+}
+
+# Canonical order: the 7 blocks VERDICT r4 names as "done" first (serving
+# leads — the CB comparison is calibrated in the standalone condition, see
+# the r4 cb_variance history), optional continuity/family segments last so
+# a budget squeeze drops the least-load-bearing evidence.
+SEG_ORDER = ("serving", "dpo7", "qlora7", "eval", "ppo", "int4", "spec",
+             "c15", "qwen", "xc2", "eval15")
 
 
 def _run_seg(name: str, timeout: float = 1800.0) -> dict:
@@ -987,7 +1052,69 @@ def _run_seg(name: str, timeout: float = 1800.0) -> dict:
     return last_err
 
 
+# Output-JSON key for each segment (kept from the r2-r4 artifact schema so
+# rounds stay comparable).
+SEG_KEY = {
+    "serving": "serving_cb",
+    "qlora7": "qlora_int8_7b",
+    "qwen": "qlora_int8_qwenvl_7b",
+    "xc2": "qlora_int8_xc2_7b",
+    "c15": "continuity_1p5b",
+    "eval": "eval",
+    "eval15": "eval_continuity_1p5b",
+    "ppo": "ppo",
+    "int4": "int4_7b",
+    "spec": "speculative",
+}
+
+
+def _summary(blocks, skipped, pending, elapsed, budget):
+    """The canonical artifact line, buildable at ANY point mid-run."""
+    head = blocks.get("dpo7") or {}
+    out = {
+        "metric": "dpo_pairs_per_sec_per_chip",
+        "value": head.get("pairs_per_sec", 0.0),
+        "unit": "pairs/s",
+        # the reference publishes no throughput numbers
+        # (BASELINE.json.published == {}), so there is no real baseline ratio
+        "vs_baseline": 0.0,
+        "model": "llava-1.5-7b geometry (7.06B params, bf16)",
+        "pairs_per_step": 1,
+        "seq": 1024,
+        "step_ms": head.get("step_ms"),
+        "mfu": head.get("mfu"),
+        "mfu_vs_40pct_target": round((head.get("mfu") or 0.0) / 0.40, 3),
+        "ref_logps": "precomputed",
+        "remat_policy": "attn",
+        "logits_chunk": 256,
+        "flops_accounting": "LoRA 4N fwd+bwd (frozen base: no dW matmuls)",
+    }
+    for name in SEG_ORDER:
+        if name in blocks and name != "dpo7":
+            out[SEG_KEY[name]] = blocks[name]
+    out["skipped"] = skipped
+    if pending:
+        out["pending"] = list(pending)
+    out["bench_elapsed_s"] = round(elapsed, 1)
+    out["bench_budget_s"] = budget
+    out["backend"] = jax.default_backend()
+    return out
+
+
 def main():
+    """Streaming, budgeted bench (VERDICT r4 missing #1: BENCH_r04 was
+    rc=124/parsed=null because 10 unbounded segments printed one line at the
+    very end — ~60-80 min total vs the driver's budget).
+
+    Every segment now (a) runs in its own bounded subprocess, (b) prints a
+    segment-tagged JSON line the moment it completes, and (c) is followed by
+    a cumulative summary line — so whenever the driver kills the process,
+    the LAST parseable stdout line is a full summary of everything measured
+    so far. Segments the budget can't cover are skipped explicitly
+    (`"skipped": [...]`), never silently. Budget knob: BENCH_BUDGET_S
+    (default 2340 s ~= 39 min, sized under an assumed ~40-min driver cap)."""
+    import os
+
     _compile_cache()
     on_tpu = jax.default_backend() == "tpu"
 
@@ -1003,65 +1130,40 @@ def main():
         }))
         return
 
-    # every segment in its own subprocess (see _run_seg) — the persistent
-    # TPU compile cache makes repeat compiles cheap across processes.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2340"))
+    start = time.perf_counter()
+    blocks: dict = {}
+    skipped: list = []
     # SERVING RUNS FIRST: axon frees a dead subprocess's HBM lazily and the
     # CB engine's host loop is wakeup-sensitive on 1-CPU hosts — run right
     # after the 7B eval segment the CB comparison repeatedly drew ~1.24x vs
     # 1.33-1.35x standalone (r3 driver artifact hit the same draw; history
     # in tools/r4_sweep_results.log [r4 cb_variance]). First slot = the
     # standalone condition the measurement is calibrated in.
-    serving_block = _run_seg("serving")
-    head = _run_seg("dpo7")
-    qlora = _run_seg("qlora7")
-    qw = _run_seg("qwen")
-    xc = _run_seg("xc2")
-    c15 = _run_seg("c15")
-    # both north-star metrics + the PPO segment in the DEFAULT output
-    # (VERDICT r2 weak item 1 / next-round item 3)
-    eval_block = _run_seg("eval")
-    ppo_block = _run_seg("ppo")
-    int4_block = _run_seg("int4")
-    spec_block = _run_seg("spec")
-
-    print(json.dumps({
-        "metric": "dpo_pairs_per_sec_per_chip",
-        "value": head.get("pairs_per_sec", 0.0),
-        "unit": "pairs/s",
-        # the reference publishes no throughput numbers
-        # (BASELINE.json.published == {}), so there is no real baseline ratio
-        "vs_baseline": 0.0,
-        "model": "llava-1.5-7b geometry (7.06B params, bf16)",
-        "pairs_per_step": 1,
-        "seq": 1024,
-        "step_ms": head.get("step_ms"),
-        "mfu": head.get("mfu"),
-        "mfu_vs_40pct_target": round(head.get("mfu", 0.0) / 0.40, 3),
-        "ref_logps": "precomputed",
-        "remat_policy": "attn",
-        "logits_chunk": 256,
-        "flops_accounting": "LoRA 4N fwd+bwd (frozen base: no dW matmuls)",
-        # same 7B geometry, int8 frozen base + bf16 LoRA/head, remat 'acts'
-        # — the fastest supported 7B training mode on one v5e
-        "qlora_int8_7b": qlora,
-        # Qwen-VL-Chat geometry (9.66B total params) — UNRUNNABLE on one
-        # v5e without the wide int8 set; mlp1 remat is the fastest fit
-        "qlora_int8_qwenvl_7b": qw,
-        # InternLM-XComposer2-VL geometry at seq 2048 (PLoRA active at the
-        # 1225 image positions)
-        "qlora_int8_xc2_7b": xc,
-        "continuity_1p5b": c15,
-        "eval": eval_block,
-        "serving_cb": serving_block,
-        "ppo": ppo_block,
-        # 7B int4 on chip (QLoRA bits=4 step + serving decode A/B) —
-        # VERDICT r3 next-item 3's driver-capturable artifact
-        "int4_7b": int4_block,
-        # e2e speculative decoding through the CB serving engine, both
-        # honesty bounds (VERDICT r3 next-item 1b)
-        "speculative": spec_block,
-        "backend": jax.default_backend(),
-    }))
+    for i, name in enumerate(SEG_ORDER):
+        est = SEG_EST_S[name]
+        remaining = budget - (time.perf_counter() - start)
+        if remaining < 0.8 * est:
+            skipped.append({
+                "segment": name,
+                "reason": f"budget: {remaining:.0f}s left < "
+                          f"~{est:.0f}s expected",
+            })
+            continue
+        t0 = time.perf_counter()
+        res = _run_seg(name, timeout=min(1.8 * est, remaining))
+        seg_s = time.perf_counter() - t0
+        blocks[name] = res
+        print(json.dumps({"segment": name, "seg_elapsed_s": round(seg_s, 1),
+                          **res}), flush=True)
+        pending = SEG_ORDER[i + 1:]
+        print(json.dumps(_summary(
+            blocks, skipped, pending, time.perf_counter() - start, budget,
+        )), flush=True)
+    # final (pending empty) — the canonical last line
+    print(json.dumps(_summary(
+        blocks, skipped, (), time.perf_counter() - start, budget,
+    )), flush=True)
 
 
 def main_eval():
@@ -1080,6 +1182,7 @@ def main_eval():
     # serving first — see main(): running it after the 7B eval segment
     # repeatedly drew ~1.24x vs 1.33-1.35x standalone (axon lazy HBM free)
     serving = _run_seg("serving")
+    print(json.dumps({"segment": "serving", **serving}), flush=True)
     block = _run_seg("eval")
     print(json.dumps({
         "metric": "eval_imgs_per_sec",
