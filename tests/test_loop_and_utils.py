@@ -201,3 +201,59 @@ def test_prefetch_iterator_order_and_errors():
     assert next(it) == {"i": 0}
     with pytest.raises(RuntimeError, match="loader died"):
         list(it)
+
+
+def test_xla_compiler_options_parsing(monkeypatch):
+    """VLRLHF_XLA_OPTIONS -> jit compiler_options dict: bools/ints coerced
+    (the DebugOptions proto rejects string "false" for bool fields), empty
+    env -> None (jit treats None as no overrides)."""
+    from vlrlhf_tpu.core.xla_options import xla_compiler_options
+
+    monkeypatch.delenv("VLRLHF_XLA_OPTIONS", raising=False)
+    assert xla_compiler_options() is None
+    monkeypatch.setenv("VLRLHF_XLA_OPTIONS", "")
+    assert xla_compiler_options() is None
+    monkeypatch.setenv(
+        "VLRLHF_XLA_OPTIONS",
+        "xla_tpu_enable_while_loop_double_buffering=false, "
+        "xla_tpu_memory_limit_slop_factor=85,xla_dump_to=/tmp/d,flag_only",
+    )
+    assert xla_compiler_options() == {
+        "xla_tpu_enable_while_loop_double_buffering": False,
+        "xla_tpu_memory_limit_slop_factor": 85,
+        "xla_dump_to": "/tmp/d",
+        "flag_only": True,
+    }
+
+
+def test_trainer_steps_accept_xla_options(monkeypatch):
+    """A benign override must flow through make_dpo_step's jit without
+    breaking compilation (the escape hatch for the copy-start/slice-start
+    compile-OOM wall; tools/r5_oom_probe.py)."""
+    import jax
+
+    from tests.test_dpo_step import tiny_batch, tiny_vlm_config
+    from vlrlhf_tpu.lora.lora import LoraConfig, init_lora
+    from vlrlhf_tpu.models.vlm import init_vlm_params
+    from vlrlhf_tpu.train.dpo import DPOConfig, make_dpo_step
+    from vlrlhf_tpu.train.train_state import (
+        OptimizerConfig,
+        init_train_state,
+        make_optimizer,
+    )
+
+    monkeypatch.setenv("VLRLHF_XLA_OPTIONS", "xla_cpu_enable_fast_math=false")
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=4, alpha=8.0,
+                      target_patterns=(r"lm/.*attn/", r"lm/.*mlp/"))
+    adapters = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-4, warmup_steps=1, total_steps=5),
+        adapters,
+    )
+    state = init_train_state(adapters, tx)
+    step = make_dpo_step(cfg, DPOConfig(lora_scale=lcfg.scale), tx)
+    batch = tiny_batch(jax.random.PRNGKey(2), n_pairs=1, seq=32)
+    state, metrics = step(state, params, batch)
+    assert float(metrics["loss"]) == float(metrics["loss"])  # finite-ish

@@ -33,13 +33,21 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 LOG = os.path.join(HERE, "r5_sweep_results.log")
 
+# MEASURED r5 (first probe iteration, kept in the log): putting these in
+# XLA_FLAGS fatals the LOCAL axon client at startup ("Unknown flag in
+# XLA_FLAGS" — the client's CPU XLA parses the env and has no xla_tpu_*
+# flags), and the remote compile helper never sees this process's env
+# anyway. The working channel is per-computation compiler_options
+# (CompileOptions.env_option_overrides, serialized with the compile
+# request) — VLRLHF_XLA_OPTIONS, parsed by core/xla_options.py and merged
+# into the trainer jit sites.
 FLAG_SETS = {
     "baseline": "",
-    "no_double_buffer": "--xla_tpu_enable_while_loop_double_buffering=false",
-    "no_lhs": "--xla_tpu_enable_latency_hiding_scheduler=false",
-    "no_db_no_lhs": ("--xla_tpu_enable_while_loop_double_buffering=false "
-                     "--xla_tpu_enable_latency_hiding_scheduler=false"),
-    "slop85": "--xla_tpu_memory_limit_slop_factor=85",
+    "no_double_buffer": "xla_tpu_enable_while_loop_double_buffering=false",
+    "no_lhs": "xla_tpu_enable_latency_hiding_scheduler=false",
+    "no_db_no_lhs": ("xla_tpu_enable_while_loop_double_buffering=false,"
+                     "xla_tpu_enable_latency_hiding_scheduler=false"),
+    "slop85": "xla_tpu_memory_limit_slop_factor=85",
 }
 
 SNIPPET = r"""
@@ -68,7 +76,7 @@ def run_config(tag, flags, n_pairs, seq, remat, chunk, timeout=1500):
     code = SNIPPET.format(n_pairs=n_pairs, seq=seq, remat=remat, chunk=chunk)
     env = dict(os.environ)
     if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+        env["VLRLHF_XLA_OPTIONS"] = flags
     # flag variants must not poison (or be served stale results by) the
     # persistent compile cache keyed without the env flags
     env["JAX_COMPILATION_CACHE_DIR"] = ""

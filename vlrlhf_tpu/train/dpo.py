@@ -239,11 +239,13 @@ def dpo_step_fn(
 
 def make_dpo_step(model_cfg: VLMConfig, dpo_cfg: DPOConfig, tx):
     """Jitted step: (state, base_params, batch) -> (state, metrics)."""
+    from vlrlhf_tpu.core.xla_options import xla_compiler_options
 
     def step(state, base_params, batch):
         return dpo_step_fn(model_cfg, dpo_cfg, tx, state, base_params, batch)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=xla_compiler_options())
 
 
 def make_ref_logps_fn(model_cfg: VLMConfig, dpo_cfg: DPOConfig):

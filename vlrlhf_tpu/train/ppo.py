@@ -470,15 +470,20 @@ class AdaptiveKLController:
 
 
 def make_ppo_fns(model_cfg: VLMConfig, ppo_cfg: PPOConfig, tx):
+    from vlrlhf_tpu.core.xla_options import xla_compiler_options
+
+    opts = xla_compiler_options()
     stats_fn = jax.jit(
         lambda params, trainable, batch, scores, kl_coef: compute_rollout_stats(
             model_cfg, ppo_cfg, params, trainable, batch, scores, kl_coef
-        )
+        ),
+        compiler_options=opts,
     )
     update_fn = jax.jit(
         lambda state, base_params, batch, stats: ppo_update_fn(
             model_cfg, ppo_cfg, tx, state, base_params, batch, stats
         ),
         donate_argnums=(0,),
+        compiler_options=opts,
     )
     return stats_fn, update_fn

@@ -122,7 +122,10 @@ def rm_step_fn(
 
 
 def make_rm_step(model_cfg: VLMConfig, rm_cfg: RMConfig, tx):
+    from vlrlhf_tpu.core.xla_options import xla_compiler_options
+
     def step(state, base_params, batch):
         return rm_step_fn(model_cfg, rm_cfg, tx, state, base_params, batch)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=xla_compiler_options())

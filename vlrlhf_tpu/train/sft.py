@@ -100,7 +100,10 @@ def sft_step_fn(
 
 
 def make_sft_step(model_cfg: VLMConfig, sft_cfg: SFTConfig, tx):
+    from vlrlhf_tpu.core.xla_options import xla_compiler_options
+
     def step(state, base_params, batch):
         return sft_step_fn(model_cfg, sft_cfg, tx, state, base_params, batch)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=xla_compiler_options())
