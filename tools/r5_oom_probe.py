@@ -62,7 +62,8 @@ cfg = dataclasses.replace(
     cfg, lm=dataclasses.replace(cfg.lm, remat_policy=remat))
 pps, ms, mfu, _ = bench._measure_dpo(
     cfg, n_pairs=n_pairs, seq=seq, n_steps=10, n_warmup=3,
-    precompute_ref=True, dpo_kwargs={{"logits_chunk": chunk}},
+    precompute_ref=True, quantize={quantize},
+    dpo_kwargs={{"logits_chunk": chunk}},
 )
 print(json.dumps({{
     "pairs_per_sec": round(pps, 3), "step_ms": round(ms, 1),
@@ -72,8 +73,10 @@ print(json.dumps({{
 """
 
 
-def run_config(tag, flags, n_pairs, seq, remat, chunk, timeout=1500):
-    code = SNIPPET.format(n_pairs=n_pairs, seq=seq, remat=remat, chunk=chunk)
+def run_config(tag, flags, n_pairs, seq, remat, chunk, timeout=1500,
+               quantize=False):
+    code = SNIPPET.format(n_pairs=n_pairs, seq=seq, remat=remat, chunk=chunk,
+                          quantize=quantize)
     env = dict(os.environ)
     if flags:
         env["VLRLHF_XLA_OPTIONS"] = flags
@@ -98,7 +101,8 @@ def run_config(tag, flags, n_pairs, seq, remat, chunk, timeout=1500):
             continue
     rec = {"flags": tag,
            "config": {"pairs": n_pairs, "seq": seq, "remat": remat,
-                      "chunk": chunk},
+                      "chunk": chunk, "weights": "int8" if quantize
+                      else "bf16"},
            "wall_s": round(time.time() - t0, 1)}
     if res is None:
         sig = "HLO temp" if "HLO temp" in err else ""
@@ -114,6 +118,20 @@ def run_config(tag, flags, n_pairs, seq, remat, chunk, timeout=1500):
 
 
 def main():
+    if "--capacity" in sys.argv:
+        # CAPACITY-ARITHMETIC test: the r4/r5 flag probes point at plain HBM
+        # capacity, not a scheduler bug — bf16 7B weights (14.1 GB) + f32
+        # adapter master+m+nu (1.4 GB) + two 1.07 GB saved per-layer stacks
+        # at 4096 tokens ~= 18 GB > 17.2 GB physical. If the SAME shapes
+        # compile and run with int8 base weights (frees ~7 GB), the wall is
+        # capacity and the remedy is grad accumulation / QLoRA, not flags.
+        run_config("capacity_int8_p2", "", 2, 1024, "attn", 128,
+                   quantize=True)
+        run_config("capacity_int8_p2_s2048", "", 2, 2048, "attn", 256,
+                   quantize=True)
+        run_config("capacity_int8_p4", "", 4, 1024, "attn", 128,
+                   quantize=True)
+        return
     full = "--full" in sys.argv
     # fastest-failing r4 repro first, under every flag set
     winners = []

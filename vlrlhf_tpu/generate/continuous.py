@@ -947,18 +947,37 @@ class ContinuousEngine:
             )
             packed = np.asarray(packed)  # ONE download per burst (sync)
             if adaptive:
-                now = time.perf_counter()
+                # snapshot BEFORE consume mutates phase/lengths
                 dec = phase == DECODE
                 emitted = int((packed[dec, -1] - lengths[dec]).sum())
+            consume(packed)
+            if adaptive:
+                # the interval endpoint sits AFTER consume: the host-side
+                # drain cost scales with this burst's token count and must
+                # be attributed to the burst that produced the tokens.
+                # (Measured r5: with the endpoint before consume, the rare
+                # plain probe burst in spec steady-state inherited the
+                # PREVIOUS spec burst's larger drain, inflating plain's
+                # per-token cost — the gate held spec on a sampled t=0.2
+                # workload at acceptance 0.73 and lost 14% e2e.)
+                now = time.perf_counter()
                 if t_mark is not None and emitted > 0:
                     c = (now - t_mark) / emitted
                     ema[mode] = (
                         c if ema[mode] is None
-                        else 0.5 * ema[mode] + 0.5 * c
+                        else 0.7 * ema[mode] + 0.3 * c
                     )
                 was = use_spec
                 if ema[True] is not None and ema[False] is not None:
-                    if use_spec and ema[False] < 0.9 * ema[True]:
+                    # ASYMMETRIC hysteresis (measured r5: the symmetric 0.9
+                    # gate held spec on a sampled t=0.2 caption workload at
+                    # acceptance 0.73/chunk and lost 14% e2e — the active
+                    # mode's EMA refreshes every burst while the idle mode's
+                    # goes stale across the probe backoff, so spec needs a
+                    # clear margin to hold). Plain is the safe mode: any
+                    # measured plain advantage exits spec; entering spec
+                    # requires a >=10% advantage.
+                    if use_spec and ema[False] < ema[True]:
                         use_spec = False
                     elif not use_spec and ema[True] < 0.9 * ema[False]:
                         use_spec = True
@@ -970,7 +989,6 @@ class ContinuousEngine:
                     next_probe = it + probe_gap
                 t_mark = now
                 self.last_spec_bursts += int(mode)
-            consume(packed)
             it += 1
             self.last_bursts = it
             if progress and it % 16 == 0:
