@@ -986,17 +986,20 @@ SEGMENTS = {
 # was rc=124/parsed=null because 10 unbounded sequential segments printed
 # nothing until the very end — VERDICT r4 missing #1).
 SEG_EST_S = {
-    "serving": 500.0,   # single-pass static + CB; measured 475s r5 on chip
-    "dpo7": 200.0,
-    "qlora7": 170.0,
-    "eval": 330.0,      # 7B MME-shaped only (1.5B rider moved to eval15)
-    "ppo": 420.0,
-    "int4": 420.0,      # r4 measured 400s
-    "spec": 300.0,      # greedy bound only, single-pass (r4 full was 741s)
-    "c15": 130.0,
-    "qwen": 260.0,
-    "xc2": 330.0,
-    "eval15": 120.0,
+    # r5 full-run measurements (warm persistent compile cache — the state a
+    # driver run on this box sees) + ~15% margin; the 1.8x subprocess
+    # timeout covers a cold-cache compile.
+    "serving": 330.0,   # measured 288s r5 full run
+    "dpo7": 310.0,      # 269s
+    "qlora7": 230.0,    # 199s
+    "eval": 220.0,      # 191s (7B MME-shaped only; 1.5B rider in eval15)
+    "ppo": 285.0,       # 246s
+    "int4": 235.0,      # 201s warm (cold r4: 400s — timeout covers it)
+    "spec": 440.0,      # 380s greedy bound single-pass (r4 full was 741s)
+    "c15": 85.0,        # 71s
+    "qwen": 95.0,       # 78s
+    "xc2": 345.0,       # 299s
+    "eval15": 85.0,     # 71s isolated
 }
 
 # Canonical order: the 7 blocks VERDICT r4 names as "done" first (serving
