@@ -223,3 +223,68 @@ def test_continuous_engine_multilora_matches_per_adapter():
     got = eng.run(params, reqs)
     for g, w, r in zip(got, want, reqs):
         assert g == w, (r.adapter_idx, g, w)
+
+
+def test_continuous_engine_multilora_fused_params_parity():
+    """FUSED serving layout end to end: base params through fuse_vlm_params
+    (wqkv/gateup) AND full-target adapter sets auto-fused by the engine
+    (lora.fuse_adapter_sets — one A-concat + one block-diagonal-B delta per
+    fusion group) must reproduce the unfused single-adapter static engine's
+    greedy tokens per request. Partial-target sets keep the per-name path
+    (covered by test_continuous_engine_multilora_matches_per_adapter)."""
+    from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(
+        r=4, alpha=8, dropout=0.0,
+        target_patterns=(r"attn/(wq|wk|wv)", r"mlp/(gate|up)"),
+    )
+    sets = []
+    for i in range(2):
+        ad = init_lora(params, lcfg, jax.random.PRNGKey(10 + i))
+        ad = jax.tree.map(
+            lambda a, i=i: a + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(100 + i), a.shape, a.dtype
+            ),
+            ad,
+        )
+        sets.append(ad)
+    reqs = _requests(n=5)
+    for i, r in enumerate(reqs):
+        reqs[i] = dataclasses.replace(r, adapter_idx=i % 2)
+
+    gcfg = GenerateConfig(max_new_tokens=10, pad_token_id=-1)
+    want = []
+    for i, r in enumerate(reqs):
+        gen = Generator(cfg, gcfg, adapters=sets[i % 2],
+                        lora_scale=lcfg.scale)
+        L = len(r.input_ids)
+        batch = {
+            "input_ids": r.input_ids[None],
+            "pad_mask": np.ones((1, L), bool),
+            "prompt_lens": np.asarray([L], np.int32),
+            "pixel_values": r.pixel_values[None, None],
+            "image_positions": r.image_positions[None],
+        }
+        toks = np.asarray(gen(params, batch))[0]
+        keep = []
+        for t in toks:
+            if t == -1:
+                break
+            keep.append(int(t))
+        want.append(keep[: r.max_new_tokens])
+
+    fused = fuse_vlm_params(params)
+    eng = ContinuousEngine(
+        cfg, gcfg, n_slots=2, cache_len=64, prefill_chunk=8,
+        adapter_sets=sets, lora_scale=lcfg.scale,
+    )
+    got = eng.run(fused, reqs)
+    for g, w, r in zip(got, want, reqs):
+        assert g == w, (r.adapter_idx, g, w)
+    # the engine actually took the fused-adapter path
+    assert eng._fused_adapters, "fused adapter tree was never built"
+    fa = next(iter(eng._fused_adapters.values()))
+    layers = fa["lm"]["layers_scanned"]
+    assert "wqkv" in layers["attn"] and "gateup" in layers["mlp"]

@@ -8,10 +8,14 @@ BENCH (the delta is the HTTP + scheduler-thread overhead, which should be
 noise at 7B decode speeds).
 
 Usage: python tools/serve_bench.py [--reqs N] [--slots N] [--tiny]
-    [--adapters N]
+    [--adapters N] [--no-fuse]
   --adapters N  register N r=64 LoRA sets and alternate requests across
                 them — measures the multi-adapter serving tax (each set's
                 delta computed once per step) vs the plain run
+  --no-fuse     skip fuse_vlm_params (wqkv/gateup). Default is FUSED —
+                the production `vlrlhf serve` layout (cli/main.py); with
+                adapters the engine then also auto-fuses the sets
+                (lora.fuse_adapter_sets, 14 -> 8 adapter matmuls/layer)
 """
 import sys
 import threading
@@ -69,6 +73,11 @@ def main():
             )
             for i in range(n_ad)
         ]
+    fuse = "--no-fuse" not in sys.argv and "--tiny" not in sys.argv
+    if fuse:
+        from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+
+        params = jax.jit(fuse_vlm_params, donate_argnums=0)(params)
     engine = ContinuousEngine(
         cfg, gen_cfg, n_slots=n_slots, cache_len=512,
         adapter_sets=adapter_sets,
@@ -109,7 +118,7 @@ def main():
     dt = time.perf_counter() - t0
     print(
         f"serve_bench: {n_reqs} reqs / {n_slots} slots int8={int8} "
-        f"adapters={n_ad}: "
+        f"fused={fuse} adapters={n_ad}: "
         f"{dt:.1f} s, {toks} tokens, {toks/dt:.0f} tok/s, "
         f"{n_reqs/dt:.2f} req/s"
     )

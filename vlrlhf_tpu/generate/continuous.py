@@ -483,6 +483,7 @@ class ContinuousEngine:
         self.exit_free = max(exit_free, 1)
         self.adapters = adapters
         self._stacked = None
+        self._fused_adapters: dict = {}  # keyed by id(layout source tree)
         self.n_adapter_sets = 0
         if adapter_sets:
             assert adapters is None, (
@@ -495,15 +496,40 @@ class ContinuousEngine:
         self.lora_scale = lora_scale
         self._compiled: dict = {}
 
-    def _adapters_arg(self, idxs):
+    def _adapters_arg(self, idxs, params=None):
         """Per-dispatch adapters argument: the stacked sets + a one-hot
-        (B, N) mix row per request/slot (rides the jitted call as numpy)."""
+        (B, N) mix row per request/slot (rides the jitted call as numpy).
+
+        When `params` carry the FUSED serving layout (fuse_lm_params:
+        wqkv/gateup), the adapter tree is transformed once to the matching
+        fused layout (lora.fuse_adapter_sets) — the r5 N-sweep measured
+        the per-target path op-count-bound at decode (2.1x tax for one
+        r=64 set), and fusion cuts the per-layer adapter matmuls 14 -> 8."""
+        tree = self._stacked if self._stacked is not None else self.adapters
+        if tree is None:
+            return None
+        if (
+            params is not None
+            and isinstance(params.get("lm"), dict)
+            and "wqkv" in params["lm"].get("layers_scanned", {}).get(
+                "attn", {}
+            )
+        ):
+            key = id(tree)
+            if key not in self._fused_adapters:
+                from vlrlhf_tpu.lora.lora import fuse_adapter_sets
+
+                n = max(self.n_adapter_sets, 1)
+                self._fused_adapters[key] = jax.jit(
+                    lambda t: fuse_adapter_sets(t, n)
+                )(tree)
+            tree = self._fused_adapters[key]
         if self._stacked is None:
-            return self.adapters
+            return tree
         idxs = np.asarray(idxs, np.int64)
         mix = np.zeros((len(idxs), self.n_adapter_sets), np.float32)
         mix[np.arange(len(idxs)), idxs] = 1.0
-        return dict(self._stacked, __mix__=mix)
+        return dict(tree, __mix__=mix)
 
     def _admit_fn(self, scratch_len: int):
         key = ("admit", scratch_len)
@@ -623,7 +649,7 @@ class ContinuousEngine:
         cache, pending, state, hist, rng = self._admit_fn(lb)(
             params, cache, pending, state, hist, slot_vec, budgets,
             rows, pad, plens, pv, ipos, gather, qi, qm,
-            rng, self._adapters_arg(aidx), self.lora_scale,
+            rng, self._adapters_arg(aidx, params), self.lora_scale,
         )
         return cache, pending, state, hist, rng
 
@@ -649,7 +675,7 @@ class ContinuousEngine:
                slot_aidx, spec: Optional[bool] = None):
         """Dispatch one decode burst (plain or speculative — both programs
         share the (cache, pending, state, hist, rng, packed) contract)."""
-        adapters = self._adapters_arg(slot_aidx)
+        adapters = self._adapters_arg(slot_aidx, params)
         return self._burst_fn(exit_free, spec)(
             params, cache, pending, state, hist, rng,
             adapters, self.lora_scale,

@@ -214,6 +214,86 @@ def stack_adapter_sets(sets: Sequence[PyTree]) -> PyTree:
     return jtu.tree_unflatten(treedef, leaves)
 
 
+def fuse_adapter_sets(adapters: PyTree, n_sets: int = 1) -> PyTree:
+    """Rewrite an adapter tree to the FUSED serving layout, mirroring
+    models/lm/fuse.fuse_lm_params: attn {wq,wk,wv} -> {wqkv}, mlp
+    {gate,up} -> {gateup}.
+
+    Why: decode at small batch is op-count-bound, not bandwidth-bound —
+    the r5 bf16 N-sweep measured a 2.1x serving tax for ONE r=64 set
+    (~66 ms/step = 32 layers x 7 targets x 2 tiny matmuls), while the
+    set itself streams only ~470 MB. Fusing the three qkv (and two
+    gate/up) deltas into one A-matmul + one block-diagonal B-matmul cuts
+    the per-layer adapter ops 14 -> 8. Exact: the A-side concatenation
+    leaves every reduction over `in` untouched; the B-side block diagonal
+    adds only structural zeros.
+
+    Layout per fusion group of T targets (works for single sets and for
+    trees stacked by stack_adapter_sets — pass that call's N as n_sets):
+      a: concat along the rank axis -> (..., in, [N,] T*r)
+      b: per-set block diagonal     -> (..., [N*]T*r, sum(out_t))
+    so lora_delta's plain AND mixed paths apply unchanged under the key
+    "wqkv"/"gateup" (the fused base branches in models/lm/llama.py pick
+    them up via ctx.sub). Only lm/layers_scanned is rewritten; any other
+    subtree (vision towers, unscanned modules) passes through. Groups
+    fuse only when ALL their targets carry adapters of equal rank —
+    otherwise they stay per-target (the fused forward branches keep the
+    per-name fallback for exactly this case, and for built-in PLoRA)."""
+    lm = adapters.get("lm") if isinstance(adapters, dict) else None
+    if not isinstance(lm, dict) or "layers_scanned" not in lm:
+        return adapters
+    layers = lm["layers_scanned"]
+
+    def fusable(sub: dict, names: tuple) -> bool:
+        mods = [sub.get(n) for n in names]
+        if not all(isinstance(m, dict) and "a" in m for m in mods):
+            return False
+        ranks = {m["a"].shape[-1] for m in mods}
+        return len(ranks) == 1
+
+    def fuse_group(sub: dict, names: tuple, fused_key: str) -> dict:
+        mods = [sub[n] for n in names]
+        a_cat = jnp.concatenate([m["a"] for m in mods], axis=-1)
+        t_n, r = len(mods), mods[0]["a"].shape[-1]
+        assert mods[0]["b"].shape[-2] == n_sets * r, (
+            f"b rows {mods[0]['b'].shape[-2]} != n_sets*r {n_sets * r} — "
+            "pass the stack_adapter_sets N as n_sets"
+        )
+        outs = [m["b"].shape[-1] for m in mods]
+        lead = mods[0]["b"].shape[:-2]
+        big = jnp.zeros(
+            (*lead, n_sets, t_n * r, sum(outs)), mods[0]["b"].dtype
+        )
+        off = 0
+        for t, m in enumerate(mods):
+            v = m["b"].reshape(*lead, n_sets, r, m["b"].shape[-1])
+            big = big.at[
+                ..., t * r : (t + 1) * r, off : off + v.shape[-1]
+            ].set(v)
+            off += v.shape[-1]
+        out = {
+            k: v for k, v in sub.items() if k not in names
+        }
+        out[fused_key] = {
+            "a": a_cat,
+            "b": big.reshape(*lead, n_sets * t_n * r, sum(outs)),
+        }
+        return out
+
+    new_layers = dict(layers)
+    attn = layers.get("attn")
+    if isinstance(attn, dict) and fusable(attn, ("wq", "wk", "wv")):
+        new_layers["attn"] = fuse_group(attn, ("wq", "wk", "wv"), "wqkv")
+    mlp = layers.get("mlp")
+    if isinstance(mlp, dict) and fusable(mlp, ("gate", "up")):
+        new_layers["mlp"] = fuse_group(mlp, ("gate", "up"), "gateup")
+    new_lm = dict(lm)
+    new_lm["layers_scanned"] = new_layers
+    out = dict(adapters)
+    out["lm"] = new_lm
+    return out
+
+
 def merge_lora(params: PyTree, adapters: PyTree, scale: float) -> PyTree:
     """Fold adapters into base kernels (the reference's merge_peft_model.py)."""
     flat_adapters = {

@@ -157,7 +157,11 @@ def _qkv_proj(
     (training's save-policy hooks; fused params never train)."""
     b, s, _ = h.shape
     if "wqkv" in p:
-        y = linear(p["wqkv"], h)
+        # fused-adapter serving layout (lora.fuse_adapter_sets): one
+        # delta pair for all of q/k/v rides the "wqkv" key inside linear;
+        # the per-name loop below still applies any adapters left
+        # per-target (built-in PLoRA, or partially-targeted sets)
+        y = linear(p["wqkv"], h, actx.sub("wqkv"))
         dq, dk = nh * hd, nkv * hd
         parts = [y[..., :dq], y[..., dq:dq + dk], y[..., dq + dk:]]
         for j, name in enumerate(("wq", "wk", "wv")):
@@ -328,8 +332,11 @@ def _attention_block(
 
 def _mlp_block(p: dict, ctx: Ctx, x: jax.Array) -> jax.Array:
     if "gateup" in p:
-        # fused serving layout (models/lm/fuse): one (H, 2*ff) weight stream
-        y = linear(p["gateup"], x)
+        # fused serving layout (models/lm/fuse): one (H, 2*ff) weight
+        # stream; a fused gate+up adapter delta (lora.fuse_adapter_sets)
+        # rides the "gateup" key inside linear, per-name deltas below
+        # cover per-target adapters (PLoRA / partial sets)
+        y = linear(p["gateup"], x, ctx.sub("gateup"))
         ff = y.shape[-1] // 2
         gate, up = y[..., :ff], y[..., ff:]
         dg = linear_deltas(x, ctx.sub("gate"))
