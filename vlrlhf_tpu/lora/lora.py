@@ -220,13 +220,14 @@ def fuse_adapter_sets(adapters: PyTree, n_sets: int = 1) -> PyTree:
     {gate,up} -> {gateup}.
 
     Why: decode at small batch is op-count-bound, not bandwidth-bound —
-    the r5 bf16 N-sweep measured a 2.1x serving tax for ONE r=64 set
-    (~66 ms/step = 32 layers x 7 targets x 2 tiny matmuls), while the
-    set itself streams only ~470 MB. Fusing the three qkv (and two
-    gate/up) deltas into one A-matmul + one block-diagonal B-matmul cuts
-    the per-layer adapter ops 14 -> 8. Exact: the A-side concatenation
-    leaves every reduction over `in` untouched; the B-side block diagonal
-    adds only structural zeros.
+    one r=64 set adds 32 layers x 7 targets x 2 tiny matmuls per step
+    while streaming only ~470 MB (same-window r5 chip A/B: 1.27x serving
+    tax unfused, tools/r5_sweep_results.log [r5 serve_adapters_fused]).
+    Fusing the three qkv (and two gate/up) deltas into one A-matmul + one
+    block-diagonal B-matmul cuts the per-layer adapter ops 14 -> 8
+    (+7% measured at N=1 on top of the +21% base wqkv fusion). Exact:
+    the A-side concatenation leaves every reduction over `in` untouched;
+    the B-side block diagonal adds only structural zeros.
 
     Layout per fusion group of T targets (works for single sets and for
     trees stacked by stack_adapter_sets — pass that call's N as n_sets):
