@@ -6,6 +6,8 @@ checkpoints exist offline, so pack_gptq_reference builds synthetic
 AutoGPTQ-layout tensors and dequantize_gptq_reference is the textbook
 oracle the converter must reproduce."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -203,8 +205,12 @@ def test_port_llama_lm_gptq_state_dict():
     sd["model.norm.weight"] = np.ones((H,), np.float32)
 
     def gptq_linear(prefix, din, dout):
-        q, z, s = _synth(hash(prefix) % 1000, pow2_scales=True,
-                         gsz=GSZ_, din=din, dout=dout)
+        # zlib.crc32, NOT hash(): str hashing is salted per process, and a
+        # salt-dependent dataset made this test flake at the 5e-2 tolerance
+        # (1/2048 logits at 0.075, seen r5 — passed and failed on the same
+        # commit under different salts)
+        q, z, s = _synth(zlib.crc32(prefix.encode()) % 1000,
+                         pow2_scales=True, gsz=GSZ_, din=din, dout=dout)
         qw, qz, sc, gi = pack_gptq_reference(q, z, s, GSZ_)
         sd[f"{prefix}.qweight"] = qw
         sd[f"{prefix}.qzeros"] = qz
