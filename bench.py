@@ -254,9 +254,13 @@ def _measure_eval_7b(n_requests=48, n_slots=16):
     from vlrlhf_tpu.models.vlm import init_vlm_params
     from vlrlhf_tpu.ops.quant import quantize_params
 
+    from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+
     cfg = FAMILIES["llava"].make_config()
+    # fused wqkv/gateup: the production serving layout (recipes/serve_*,
+    # +21% CB tok/s same-window r5 A/B — [r5 serve_adapters_fused])
     params = jax.jit(
-        lambda k: quantize_params(init_vlm_params(cfg, k))
+        lambda k: fuse_vlm_params(quantize_params(init_vlm_params(cfg, k)))
     )(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     n_img = cfg.num_image_tokens
@@ -286,7 +290,7 @@ def _measure_eval_7b(n_requests=48, n_slots=16):
         "imgs_per_sec": round(n_requests / dt, 3),
         "n_requests": n_requests, "n_slots": n_slots,
         "prompt_len": L, "new_tokens": n_new,
-        "continuous_batching": True,
+        "continuous_batching": True, "fused_decode": True,
         "model": "llava-7b geometry, int8 weights + int8 KV (MME-shaped)",
     }
 
@@ -319,9 +323,13 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
     from vlrlhf_tpu.models.vlm import init_vlm_params
     from vlrlhf_tpu.ops.quant import quantize_params
 
+    from vlrlhf_tpu.models.lm.fuse import fuse_vlm_params
+
     cfg = FAMILIES["llava"].make_config()
+    # fused layout on BOTH engines (production serving default, r5 +21%;
+    # the CB-vs-static ratio compares like with like)
     params = jax.jit(
-        lambda k: quantize_params(init_vlm_params(cfg, k))
+        lambda k: fuse_vlm_params(quantize_params(init_vlm_params(cfg, k)))
     )(jax.random.PRNGKey(0))
     rng = np.random.default_rng(seed)
     n_img = cfg.num_image_tokens  # 576
@@ -424,7 +432,7 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
         "exit_free": exit_free, "max_prefill_group": group,
         "prefill_chunk": chunk,
         "prompt_len": L, "max_new": max_new,
-        "output_lens": "uniform(16,256)",
+        "output_lens": "uniform(16,256)", "fused_decode": True,
         "model": "llava-7b geometry, int8 weights + int8 KV",
     }
 
