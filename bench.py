@@ -313,9 +313,13 @@ def _measure_serving_cb(n_requests=48, n_slots=16, seed=0):
     chunk = int(os.environ.get("CB_CHUNK", "128"))
     n_slots = int(os.environ.get("CB_SLOTS", str(n_slots)))
     skip_static = float(os.environ.get("CB_SKIP_STATIC", "0"))
-    # single-pass by default (VERDICT r4 next-item 1c: fit the driver
-    # budget); CB_BEST_OF=2 restores the r4 min-of-2 estimator for sweeps
-    best_of = int(os.environ.get("CB_BEST_OF", "1"))
+    # min-of-2 by default: the CB side interleaves ~100 host scheduling
+    # turns and a background wakeup only ever ADDS time — the r5 full runs
+    # drew 1.125x..1.34x for identical device work on a single pass. One
+    # extra CB pass (~+60-100 s warm) buys a draw-resistant ratio, and the
+    # streamed/budgeted bench has the slack (r5 full run: 1515 s of 2340).
+    # CB_BEST_OF=1 restores single-pass for tight sweeps.
+    best_of = int(os.environ.get("CB_BEST_OF", "2"))
 
     from vlrlhf_tpu.generate.continuous import ContinuousEngine, Request
     from vlrlhf_tpu.generate.engine import GenerateConfig, Generator
@@ -997,7 +1001,7 @@ SEG_EST_S = {
     # r5 full-run measurements (warm persistent compile cache — the state a
     # driver run on this box sees) + ~15% margin; the 1.8x subprocess
     # timeout covers a cold-cache compile.
-    "serving": 330.0,   # measured 288s r5 full run
+    "serving": 430.0,   # measured 288s r5 full run single-pass; +CB pass
     "dpo7": 310.0,      # 269s
     "qlora7": 230.0,    # 199s
     "eval": 220.0,      # 191s (7B MME-shaped only; 1.5B rider in eval15)
